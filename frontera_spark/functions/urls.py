@@ -1,0 +1,121 @@
+"""URL canonicalization and domain parsing.
+
+Reference semantics: frontera fingerprints URLs (frontera/contrib/middlewares/
+fingerprint.py:~20-50) over a canonical form whose rules live in the w3lib
+dependency (``w3lib.url.canonicalize_url``): lowercase scheme/host, sort query
+parameters (keeping blank values), strip the fragment, strip default ports,
+normalize percent-escapes, ensure a non-empty path. Domain parsing mirrors
+``frontera/utils/url.py:~30-100`` (parse_domain_info → netloc/sld/tld/
+subdomain, without the optional tldextract mode — we use a public-suffix-free
+heuristic: tld = last label, sld = last two labels).
+
+Spark-side: there is no built-in canonicalizer, so the hot path is a
+*vectorized* pandas UDF (Arrow-batched; no per-row Python UDFs — BASELINE
+input_hint). Host extraction alone uses the built-in ``F.parse_url`` and stays
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, quote, unquote, urlencode, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+# RFC 3986 sub-delims + unreserved extras kept verbatim in paths
+_PATH_SAFE = "/%!$&'()*+,;=:@~-._"
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonicalize one URL (pure Python; the UDF vectorizes over this).
+
+    Rules (w3lib-compatible subset, deterministic):
+      1. scheme + host lowercased
+      2. default port stripped
+      3. fragment stripped
+      4. query params sorted by (key, value); blank values kept
+      5. percent-escapes normalized (unquote+requote with a fixed safe set)
+      6. empty path → "/"
+    """
+    try:
+        scheme, netloc, path, query, _frag = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = scheme.lower()
+    host, sep, port = netloc.partition(":")
+    host = host.lower().rstrip(".")
+    if "@" in host:  # userinfo@host
+        userinfo, _, bare = host.rpartition("@")
+        host = bare
+        netloc = f"{userinfo}@{host}"
+    else:
+        netloc = host
+    if sep and port and port != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{netloc}:{port}"
+    # protect escaped reserved chars (/, ?, %) from unquoting — w3lib's
+    # _unquotepath trick — so %2F stays an escape instead of becoming a
+    # path separator
+    for reserved in ("2f", "2F", "3f", "3F"):
+        path = path.replace("%" + reserved, "%25" + reserved.upper())
+    path = quote(unquote(path), safe=_PATH_SAFE) or "/"
+    if query:
+        pairs = sorted(parse_qsl(query, keep_blank_values=True))
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+@pandas_udf(StringType())
+def canonicalize_urls_udf(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer (Arrow-batched)."""
+    return urls.map(canonicalize_url)
+
+
+def parse_domain_info(url: str) -> dict:
+    """netloc / name / scheme / sld / tld / subdomain, frontera-shaped.
+
+    frontera/utils/url.py:~30-100 returns these six fields; without a
+    public-suffix list (tldextract mode off) sld/tld are label-positional.
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return {"netloc": "", "name": "", "scheme": "", "sld": "", "tld": "", "subdomain": ""}
+    netloc = parts.netloc
+    host = netloc.partition(":")[0].lower()
+    labels = [x for x in host.split(".") if x]
+    tld = labels[-1] if len(labels) >= 2 else ""
+    sld = ".".join(labels[-2:]) if len(labels) >= 2 else host
+    subdomain = ".".join(labels[:-2]) if len(labels) > 2 else ""
+    return {
+        "netloc": netloc,
+        "name": host,
+        "scheme": parts.scheme.lower(),
+        "sld": sld,
+        "tld": tld,
+        "subdomain": subdomain,
+    }
+
+
+_DOMAIN_STRUCT = StructType(
+    [StructField(f, StringType()) for f in ("netloc", "name", "scheme", "sld", "tld", "subdomain")]
+)
+
+
+@pandas_udf(_DOMAIN_STRUCT)
+def parse_domains_udf(urls: pd.Series) -> pd.DataFrame:
+    """Vectorized domain parser → struct column."""
+    return pd.DataFrame([parse_domain_info(u) for u in urls])
+
+
+def host_col(url: Column) -> Column:
+    """JVM-side host extraction (lowercased) — no Python in the hot path.
+
+    ``try_parse_url`` (Spark 4) returns NULL for malformed URLs instead of
+    failing the task — at 100 TB of crawled links, malformed URLs are a
+    certainty and must not kill the stage.
+    """
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
