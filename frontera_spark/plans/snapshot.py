@@ -1,0 +1,289 @@
+"""Snapshot table layer: Iceberg-shaped atomic MERGE/commit over Parquet.
+
+No Iceberg runtime jar is available offline (SURVEY.md §7.0), so this module
+provides the same semantics the engine needs from `MERGE INTO` + snapshots:
+
+- **Copy-on-write at partition granularity.** Data lives in immutable parquet
+  leaf dirs ``data/snap-<id>/partition_id=<p>/``. A merge rewrites ONLY the
+  hash-partitions its source touches and re-links every other partition's
+  existing files into the new manifest. At 100 TB this is the property that
+  matters: a 10k-row score update against a 10^10-row frontier rewrites a few
+  partitions, not the table.
+- **Atomic commit.** A snapshot is a JSON manifest (snapshot id, parent id,
+  per-partition file dirs, per-partition row counters = lineage) written to a
+  tmp file then ``os.replace``d over ``CURRENT``. Readers see the old or the
+  new snapshot, never a mix. Resume = read CURRENT (or any retained manifest).
+- **Partition pruning preserved.** Reads go through
+  ``spark.read.option("basePath", ...)`` so ``partition_id`` stays a partition
+  column and filters on it prune leaf dirs at planning time.
+
+The interface is deliberately Iceberg-shaped (`upsert` == ``MERGE INTO t USING
+s ON key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``) so a
+real `iceberg-spark-runtime` catalog can replace this layer without touching
+engine code. Reference parity: frontera persists the same state in SQLAlchemy/
+HBase tables with batched mutations (frontera/contrib/backends/sqlalchemy/
+components.py:~120-240, hbase/__init__.py:~250-420); snapshots replace its
+at-least-once + job-id fencing with exactly-once resume.
+
+Single-writer by design (the crawl loop is the only mutator), like frontera's
+DB worker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "partition_id"
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._data_root = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema_ddl: str, key: list[str]) -> "SnapshotTable":
+        """Create an empty table. ``schema_ddl`` must include partition_id int."""
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t = cls(spark, path)
+        manifest = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "schema": schema_ddl,
+            "key": key,
+            "dirs": {},       # partition_id (str) -> [relative leaf dirs]
+            "counters": {},   # partition_id (str) -> row count (lineage)
+            "meta": {},       # free-form engine counters (next_seq, iteration, ...)
+            "committed_at": time.time(),
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SnapshotTable":
+        t = cls(spark, path)
+        t.manifest()  # validates existence
+        return t
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        name = "CURRENT" if snapshot_id is None else f"manifest-{snapshot_id}.json"
+        with open(os.path.join(self.path, name)) as f:
+            return json.load(f)
+
+    @property
+    def snapshot_id(self) -> int:
+        return self.manifest()["snapshot_id"]
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Write manifest-<id>.json and atomically swing CURRENT to it."""
+        sid = manifest["snapshot_id"]
+        mpath = os.path.join(self.path, f"manifest-{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))  # atomic commit point
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point CURRENT back at an earlier retained snapshot (resume)."""
+        m = self.manifest(snapshot_id)
+        tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        m = self.manifest(snapshot_id)
+        dirs = [d for ds in m["dirs"].values() for d in ds]
+        if not dirs:
+            return self.spark.createDataFrame([], m["schema"])
+        # group leaf dirs by snapshot root: each root is one partitioned-table
+        # read (its own basePath → partition_id recovered + pruned); roots are
+        # unioned. Filters on partition_id push through the union into every
+        # branch's PartitionFilters.
+        by_root: dict[str, list[str]] = {}
+        for d in sorted(set(dirs)):
+            root = d.split("/", 1)[0]
+            by_root.setdefault(root, []).append(d)
+        parts = []
+        for root, ds in by_root.items():
+            base = os.path.join(self._data_root, root)
+            paths = [os.path.join(self._data_root, d) for d in ds]
+            parts.append(self.spark.read.option("basePath", base).parquet(*paths))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def counters(self, snapshot_id: int | None = None) -> dict:
+        return self.manifest(snapshot_id)["counters"]
+
+    # ----------------------------------------------------------------- write
+
+    def _write_partitions(self, df: DataFrame, sid: int) -> tuple[dict, dict]:
+        """Write df (must carry partition_id) as one snapshot leaf-dir set.
+
+        Returns ({pid: [reldir]}, {pid: count}). One Spark write job; files
+        land partitioned by partition_id so reads prune.
+        """
+        rel = f"snap-{sid}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self._data_root, rel)
+        cnt_rows = (
+            df.groupBy(PARTITION_COL).count().collect()
+        )
+        counts = {str(r[PARTITION_COL]): r["count"] for r in cnt_rows}
+        (
+            df.repartition(PARTITION_COL)
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(out)
+        )
+        dirs = {
+            pid: [f"{rel}/{PARTITION_COL}={pid}"]
+            for pid in counts
+        }
+        return dirs, counts
+
+    def _commit(self, new_dirs: dict, new_counts: dict, affected: set[str], meta: dict | None) -> int:
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        dirs = {p: ds for p, ds in prev["dirs"].items() if p not in affected}
+        counters = {p: c for p, c in prev["counters"].items() if p not in affected}
+        dirs.update(new_dirs)
+        counters.update(new_counts)
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"],
+            "schema": prev["schema"],
+            "key": prev["key"],
+            "dirs": dirs,
+            "counters": counters,
+            "meta": {**prev.get("meta", {}), **(meta or {})},
+            "committed_at": time.time(),
+        }
+        self._write_manifest(manifest)
+        return sid
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Replace the whole table (bulk loads)."""
+        prev = self.manifest()
+        sid = prev["snapshot_id"] + 1
+        new_dirs, new_counts = self._write_partitions(df, sid)
+        affected = set(prev["dirs"]) | set(new_dirs)
+        return self._commit(new_dirs, new_counts, affected, meta)
+
+    def upsert(
+        self,
+        source: DataFrame,
+        set_cols: list[str] | None = None,
+        insert: bool = True,
+        meta: dict | None = None,
+    ) -> int:
+        """MERGE INTO this USING source ON key.
+
+        WHEN MATCHED: update ``set_cols`` (default: all non-key columns) from
+        source. WHEN NOT MATCHED: insert source row (if ``insert``).
+
+        Only partitions present in ``source`` are rewritten; the rest of the
+        table is re-linked. Source MUST carry partition_id consistent with the
+        table's partitioning function.
+        """
+        m = self.manifest()
+        key = m["key"]
+        sid = m["snapshot_id"] + 1
+        affected = {
+            str(r[PARTITION_COL])
+            for r in source.select(PARTITION_COL).distinct().collect()
+        }
+        if not affected:
+            return m["snapshot_id"]  # empty merge: no-op, no new snapshot
+
+        target = self.read()
+        cols = target.columns
+        tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
+
+        src = source.select(*cols)
+        if set_cols is None:
+            set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
+
+        t, s = tgt.alias("t"), src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
+        joined = t.join(s, cond, "full_outer")
+        matched_t = F.col(f"t.{key[0]}").isNotNull()
+        matched_s = F.col(f"s.{key[0]}").isNotNull()
+
+        proj = []
+        for c in cols:
+            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+            if c in key or c == PARTITION_COL:
+                proj.append(F.coalesce(tc, sc).alias(c))
+            elif c in set_cols:
+                # matched → source value; unmatched target → target value;
+                # unmatched source (insert) → source value
+                proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
+            else:
+                proj.append(F.when(matched_t, tc).otherwise(sc).alias(c))
+        merged = joined.select(*proj)
+        if not insert:
+            merged = joined.filter(matched_t).select(*proj)
+
+        new_dirs, new_counts = self._write_partitions(merged, sid)
+        # partitions that became empty still count as affected (dropped)
+        return self._commit(new_dirs, new_counts, affected, meta)
+
+    def delete_where(self, condition, meta: dict | None = None) -> int:
+        """Delete rows matching condition (rewrites affected partitions)."""
+        target = self.read()
+        doomed_pids = {
+            str(r[PARTITION_COL])
+            for r in target.filter(condition).select(PARTITION_COL).distinct().collect()
+        }
+        if not doomed_pids:
+            return self.snapshot_id
+        m = self.manifest()
+        sid = m["snapshot_id"] + 1
+        keep = target.filter(
+            F.col(PARTITION_COL).isin([int(p) for p in doomed_pids]) & ~condition
+        )
+        new_dirs, new_counts = self._write_partitions(keep, sid)
+        return self._commit(new_dirs, new_counts, doomed_pids, meta)
+
+    def vacuum(self, keep_last: int = 10) -> None:
+        """Drop data dirs unreachable from the last ``keep_last`` snapshots."""
+        sid = self.snapshot_id
+        live: set[str] = set()
+        kept_ids = []
+        for s in range(max(0, sid - keep_last + 1), sid + 1):
+            try:
+                m = self.manifest(s)
+            except FileNotFoundError:
+                continue
+            kept_ids.append(s)
+            for ds in m["dirs"].values():
+                live.update(d.split("/")[0] for d in ds)
+        for entry in os.listdir(self._data_root):
+            if entry.startswith("snap-") and entry not in live:
+                import shutil
+
+                shutil.rmtree(os.path.join(self._data_root, entry), ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("manifest-"):
+                s = int(f[len("manifest-") : -len(".json")])
+                if s not in kept_ids and s != sid:
+                    os.unlink(os.path.join(self.path, f))

@@ -1,0 +1,124 @@
+"""Snapshot-table layer tests (SURVEY.md M2): MERGE semantics, atomic commit,
+partition-level copy-on-write, rollback/resume, lineage counters."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontera_spark.plans.snapshot import SnapshotTable
+
+SCHEMA = "fingerprint long, url string, state int, score double, partition_id int"
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, key=["fingerprint"])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_empty_read(table):
+    assert table.read().count() == 0
+    assert table.snapshot_id == 0
+
+
+def test_insert_then_upsert(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 1)]))
+    assert table.snapshot_id == 1
+    got = {r.fingerprint: r for r in table.read().collect()}
+    assert set(got) == {1, 2}
+    assert got[1].partition_id == 0
+
+    # matched update + new insert in one merge
+    table.upsert(_df(spark, [(1, "a", 2, 0.9, 0), (3, "c", 1, 0.1, 0)]))
+    got = {r.fingerprint: r for r in table.read().collect()}
+    assert got[1].state == 2 and got[1].score == 0.9
+    assert got[2].state == 0  # untouched partition re-linked
+    assert got[3].url == "c"
+
+
+def test_partial_set_cols(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    # update only `state`; score column must keep the target value
+    table.upsert(_df(spark, [(1, "IGNORED", 2, 9.9, 0)]), set_cols=["state"])
+    r = table.read().collect()[0]
+    assert r.state == 2 and r.score == 0.5 and r.url == "a"
+
+
+def test_copy_on_write_partition_reuse(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 1)]))
+    m1 = table.manifest()
+    table.upsert(_df(spark, [(3, "c", 0, 0.5, 0)]))  # touches only pid 0
+    m2 = table.manifest()
+    assert m2["dirs"]["1"] == m1["dirs"]["1"], "untouched partition must be re-linked, not rewritten"
+    assert m2["dirs"]["0"] != m1["dirs"]["0"]
+    assert m2["counters"] == {"0": 2, "1": 1}
+
+
+def test_rollback_and_time_travel(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    s1 = table.snapshot_id
+    table.upsert(_df(spark, [(1, "a", 2, 0.5, 0)]))
+    assert table.read().collect()[0].state == 2
+    assert table.read(snapshot_id=s1).collect()[0].state == 0  # time travel
+    table.rollback(s1)
+    assert table.read().collect()[0].state == 0
+    assert table.snapshot_id == s1
+
+
+def test_reload_from_disk(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    t2 = SnapshotTable.load(spark, table.path)
+    assert t2.snapshot_id == 1
+    assert t2.read().count() == 1
+
+
+def test_delete_where(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 2, 0.5, 0), (3, "c", 0, 0.5, 1)]))
+    table.delete_where(F.col("state") == 2)
+    assert {r.fingerprint for r in table.read().collect()} == {1, 3}
+
+
+def test_empty_merge_is_noop(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    sid = table.snapshot_id
+    table.upsert(_df(spark, []))
+    assert table.snapshot_id == sid
+
+
+def test_meta_counters(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]), meta={"next_seq": 10})
+    table.upsert(_df(spark, [(2, "b", 0, 0.5, 0)]), meta={"iteration": 3})
+    m = table.manifest()
+    assert m["meta"] == {"next_seq": 10, "iteration": 3}
+
+
+def test_partition_pruning(spark, table):
+    table.upsert(_df(spark, [(i, f"u{i}", 0, 0.5, i % 4) for i in range(40)]))
+    plan = table.read().filter(F.col("partition_id") == 2)._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a PartitionFilters entry, i.e. pruned at scan
+    assert "PartitionFilters" in plan
+    assert table.read().filter(F.col("partition_id") == 2).count() == 10
+
+
+def test_vacuum(spark, table, tmp_path):
+    for i in range(5):
+        table.upsert(_df(spark, [(i, "x", 0, 0.5, 0)]))
+    data_root = os.path.join(table.path, "data")
+    before = len(os.listdir(data_root))
+    table.vacuum(keep_last=1)
+    after = len(os.listdir(data_root))
+    assert after < before
+    assert table.read().count() == 5  # current snapshot intact
+
+
+def test_atomic_current(spark, table):
+    """CURRENT is valid JSON at every point (no partial writes visible)."""
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    with open(os.path.join(table.path, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["snapshot_id"] == table.snapshot_id
