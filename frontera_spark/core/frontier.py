@@ -1,0 +1,301 @@
+"""FrontierEngine — the crawl frontier as declarative DataFrame plans.
+
+Replaces frontera's Backend/Queue/States/Metadata stack (frontera/core/
+components.py, contrib/backends/*) with ONE snapshot table:
+
+    frontier(fingerprint, url, canonical_url, host, host_crc32, score,
+             bucket, depth, state, seq, jid, batch_id, crawl_at,
+             partition_id)
+
+- the **queue** is ``state=QUEUED AND batch_id IS NULL`` rows, popped by a
+  strategy-ordered window (frontera: heap pop / SQL ORDER BY+LIMIT+DELETE /
+  HBase bucket scan — we mark with batch_id instead of deleting → resumable);
+- the **seen set** is the fingerprint key set itself (exact, like frontera's
+  States store); dedup is a left_anti join, optionally pre-filtered by bloom
+  shards (core/seen.py);
+- **partition_id = crc32(host) % P** (Crc32NamePartitioner parity) so one
+  host lands in one partition: politeness and per-host caps never need a
+  cross-partition view.
+
+Scale notes (100 TB / 10^10 URLs):
+- every mutation touches only the partitions its batch hashes to
+  (SnapshotTable copy-on-write);
+- candidate scans prune on partition_id + push ``state = QUEUED`` to parquet;
+- global sequence numbers are allocated per-batch from the manifest counter
+  with a single window over the (bounded) batch — the 10^10-row table never
+  sees a global sort;
+- ``get_next_requests(mode='per_partition')`` ranks inside each partition
+  (no global shuffle) — the cluster-scale path; ``mode='global'`` reproduces
+  the reference's single-consumer total order for parity tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frontera_spark import (
+    STATE_CRAWLED,
+    STATE_ERROR,
+    STATE_QUEUED,
+    STATE_SKIPPED_ROBOTS,
+)
+from frontera_spark.core.strategies import STRATEGIES, Strategy
+from frontera_spark.functions.fingerprint import (
+    crc32_signed_col,
+    fingerprint64_col,
+    partition_id_col,
+)
+from frontera_spark.functions.urls import canonicalize_urls_udf, host_col
+from frontera_spark.plans.snapshot import SnapshotTable
+
+FRONTIER_SCHEMA = (
+    "fingerprint long, url string, canonical_url string, host string, "
+    "host_crc32 int, score double, bucket int, depth int, state int, "
+    "seq long, jid int, batch_id long, crawl_at timestamp, partition_id int"
+)
+
+FRONTIER_COLS = [c.split()[0] for c in FRONTIER_SCHEMA.split(", ")]
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        n_partitions: int = 8,
+        strategy: str | Strategy = "bfs",
+        max_depth: int | None = None,
+        max_url_length: int = 2048,
+        robots_deny_hosts: frozenset | None = None,
+        jid: int = 0,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.n_partitions = n_partitions
+        self.strategy = STRATEGIES[strategy] if isinstance(strategy, str) else strategy
+        self.max_depth = max_depth
+        self.max_url_length = max_url_length
+        self.robots_deny_hosts = frozenset(robots_deny_hosts or ())
+        self.jid = jid
+        path = os.path.join(workdir, "frontier")
+        if os.path.exists(os.path.join(path, "CURRENT")):
+            self.table = SnapshotTable.load(spark, path)
+        else:
+            self.table = SnapshotTable.create(spark, path, FRONTIER_SCHEMA, key=["fingerprint"])
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def next_seq(self) -> int:
+        return int(self.table.manifest()["meta"].get("next_seq", 0))
+
+    @property
+    def iteration(self) -> int:
+        return int(self.table.manifest()["meta"].get("iteration", 0))
+
+    def count(self, state: int | None = None) -> int:
+        """Queue.count() parity (frontera/core/components.py:~130)."""
+        df = self.table.read()
+        if state is not None:
+            df = df.filter(F.col("state") == state)
+        return df.count()
+
+    def seen_set(self) -> DataFrame:
+        """The exact URL-seen set: (fingerprint, canonical_url, state)."""
+        return self.table.read().select("fingerprint", "canonical_url", "state")
+
+    # ------------------------------------------------------------- scheduling
+
+    def _prepare(self, links: DataFrame) -> DataFrame:
+        """url [, depth, _o1, _o2] → full frontier-row candidates.
+
+        Middleware-chain parity (UrlFingerprint/Domain middlewares,
+        frontera/contrib/middlewares/fingerprint.py, domain.py) as one
+        narrow projection: canonicalize (pandas UDF) → host (JVM) →
+        fingerprint/crc32/partition (JVM).
+        """
+        df = links
+        if "depth" not in df.columns:
+            df = df.withColumn("depth", F.lit(0))
+        if "_o1" not in df.columns:
+            df = df.withColumn("_o1", F.lit(0)).withColumn(
+                "_o2", F.row_number().over(Window.orderBy("url"))
+            )
+        df = (
+            df.withColumn("canonical_url", canonicalize_urls_udf("url"))
+            .withColumn("host", host_col(F.col("canonical_url")))
+            .filter(F.col("host").isNotNull())
+            .filter(F.length("canonical_url") <= self.max_url_length)
+        )
+        if self.max_depth is not None:
+            df = df.filter(F.col("depth") <= self.max_depth)
+        df = (
+            df.withColumn("fingerprint", fingerprint64_col(F.col("canonical_url")))
+            .withColumn("host_crc32", crc32_signed_col(F.col("host")))
+            .withColumn("partition_id", partition_id_col(F.col("host"), self.n_partitions))
+        )
+        # in-batch dedup: keep the earliest discovery (order = (_o1,_o2))
+        w = Window.partitionBy("fingerprint").orderBy("_o1", "_o2")
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def _finalize(self, candidates: DataFrame) -> int:
+        """Anti-join seen set, assign seq by discovery order, MERGE QUEUED."""
+        candidates = candidates.cache()
+        # restrict the seen-set scan to partitions this batch can touch —
+        # partition pruning turns the exact anti-join from a full-table
+        # shuffle into an affected-partitions one (bloom shards in
+        # core/seen.py cut the remainder)
+        pids = [r.partition_id for r in candidates.select("partition_id").distinct().collect()]
+        if not pids:
+            candidates.unpersist()
+            return 0
+        seen = (
+            self.table.read()
+            .filter(F.col("partition_id").isin(pids))
+            .select("fingerprint")
+        )
+        fresh = candidates.join(seen, "fingerprint", "left_anti")
+
+        state = (
+            F.when(F.col("host").isin(list(self.robots_deny_hosts)), F.lit(STATE_SKIPPED_ROBOTS))
+            if self.robots_deny_hosts
+            else F.lit(None).cast("int")
+        )
+        next_seq = self.next_seq
+        # seq allocation: one window over THIS batch only (bounded), never the
+        # table. Robots-skipped rows are recorded in the seen set but get no
+        # queue seq (parity: oracle assigns seq only to QUEUED rows).
+        w = Window.orderBy("_o1", "_o2")
+        fresh = fresh.withColumn(
+            "state",
+            F.coalesce(state, F.lit(STATE_QUEUED)) if self.robots_deny_hosts else F.lit(STATE_QUEUED),
+        )
+        queued_rank = F.row_number().over(
+            Window.partitionBy(F.col("state") == STATE_QUEUED).orderBy("_o1", "_o2")
+        )
+        fresh = fresh.withColumn(
+            "seq",
+            F.when(F.col("state") == STATE_QUEUED, queued_rank + F.lit(next_seq - 1)).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        rows = (
+            fresh.withColumn("score", self.strategy.score())
+            .withColumn("bucket", F.floor(F.col("score") * 100).cast("int"))
+            .withColumn("jid", F.lit(self.jid))
+            .withColumn("batch_id", F.lit(None).cast("long"))
+            .withColumn("crawl_at", F.lit(None).cast("timestamp"))
+            .select(*FRONTIER_COLS)
+        )
+        n_queued = rows.filter(F.col("state") == STATE_QUEUED).count()
+        self.table.upsert(rows, meta={"next_seq": next_seq + n_queued})
+        candidates.unpersist()
+        return n_queued
+
+    def add_seeds(self, seeds: DataFrame) -> int:
+        """S1 seed loader (frontera/utils/add_seeds.py): df(url [, seq])."""
+        if "seq" in seeds.columns:
+            df = seeds.withColumn("_o1", F.lit(0)).withColumn("_o2", F.col("seq")).drop("seq")
+        else:
+            df = seeds
+        return self._finalize(self._prepare(df))
+
+    def add_seeds_file(self, path: str) -> int:
+        lines = self.spark.read.text(path)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        seeds = lines.select(
+            F.trim("value").alias("url")
+        ).filter(F.col("url") != "").withColumn("seq", F.row_number().over(w))
+        return self.add_seeds(seeds)
+
+    def links_extracted(self, links: DataFrame) -> int:
+        """df(url, parent_seq, link_pos, depth): schedule NOT_CRAWLED links.
+
+        Discovery order = (parent_seq, link_pos) — exactly the order the
+        single-consumer reference ingests links (tests/backends.py model).
+        """
+        df = links.withColumn("_o1", F.col("parent_seq")).withColumn("_o2", F.col("link_pos"))
+        return self._finalize(self._prepare(df.select("url", "depth", "_o1", "_o2")))
+
+    # ---------------------------------------------------------------- popping
+
+    def get_next_requests(
+        self,
+        max_n: int,
+        max_per_host: int | None = None,
+        mode: str = "global",
+        mark: bool = True,
+    ) -> DataFrame:
+        """Destructive top-k pop (T1): returns the feed batch and marks rows.
+
+        mode='global': reference-parity total order (single window — use for
+        sequence tests and small frontiers).
+        mode='per_partition': each partition yields its strategy-ordered top
+        ``max_n`` (the cluster-scale path; no global shuffle, matches
+        frontera's per-partition get_next_requests contract where partition
+        consumers are independent).
+        """
+        iteration = self.iteration + 1
+        cand = self.table.read().filter(
+            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+        )
+        order = self.strategy.ordering(iteration)
+        if max_per_host is not None:
+            wh = Window.partitionBy("host").orderBy(*order)
+            cand = (
+                cand.withColumn("_rh", F.row_number().over(wh))
+                .filter(F.col("_rh") <= max_per_host)
+                .drop("_rh")
+            )
+        if mode == "global":
+            wg = Window.orderBy(*order)
+        else:
+            wg = Window.partitionBy("partition_id").orderBy(*order)
+        batch = (
+            cand.withColumn("_rn", F.row_number().over(wg))
+            .filter(F.col("_rn") <= max_n)
+            .drop("_rn")
+        )
+        marked = batch.select(*FRONTIER_COLS).withColumn("batch_id", F.lit(iteration))
+        # cache the batch: it is both the mark-merge source and the feed
+        marked = marked.cache()
+        if marked.count() == 0:
+            marked.unpersist()
+            return marked.limit(0)
+        if mark:
+            # ``mark=False`` skips this merge for fused loops that commit
+            # CRAWLED for the whole batch before the next pop anyway
+            self.table.upsert(
+                marked, set_cols=["batch_id"], insert=False, meta={"iteration": iteration}
+            )
+        else:
+            m = self.table.manifest()
+            m["meta"]["iteration"] = iteration
+            m["snapshot_id"] += 1
+            m["parent_id"] = m["snapshot_id"] - 1
+            self.table._write_manifest(m)
+        return marked
+
+    # ------------------------------------------------------------- results in
+
+    def page_crawled(self, results: DataFrame) -> None:
+        """df(fingerprint, partition_id): mark CRAWLED (States.set_states)."""
+        src = results.select("fingerprint", "partition_id").withColumn(
+            "state", F.lit(STATE_CRAWLED)
+        )
+        self._mark(src)
+
+    def request_error(self, results: DataFrame) -> None:
+        src = results.select("fingerprint", "partition_id").withColumn(
+            "state", F.lit(STATE_ERROR)
+        )
+        self._mark(src)
+
+    def _mark(self, src: DataFrame) -> None:
+        full = src.join(
+            self.table.read().drop("state"), ["fingerprint", "partition_id"], "inner"
+        ).select(*FRONTIER_COLS)
+        self.table.upsert(full, set_cols=["state"], insert=False)

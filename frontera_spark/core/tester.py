@@ -1,0 +1,56 @@
+"""Engine-side crawl tester — the FrontierTester/DownloaderSimulator analogue
+(frontera/utils/tester.py:~1-150, tests/backends.py:~30-80).
+
+Drives a FrontierEngine against an in-memory site graph and records the
+emitted URL order. Test-only: the production path is the corpus-table join
+loop in frontera_spark/streaming/loop.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frontera_spark.core.frontier import FrontierEngine
+
+
+def run_crawl(
+    engine: FrontierEngine,
+    graph: dict[str, list[str]],
+    seeds: list[str],
+    max_next_requests: int,
+    max_per_host: int | None = None,
+    max_iterations: int = 1000,
+    mode: str = "global",
+) -> tuple[list[str], dict]:
+    """Crawl to exhaustion; return (fetch order, {canonical_url: state})."""
+    spark = engine.spark
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds)], "url string, seq int"
+    )
+    engine.add_seeds(seeds_df)
+    order: list[str] = []
+    for _ in range(max_iterations):
+        batch = engine.get_next_requests(
+            max_next_requests, max_per_host=max_per_host, mode=mode, mark=False
+        )
+        rows = batch.orderBy(*engine.strategy.ordering(engine.iteration)).collect()
+        if not rows:
+            break
+        order.extend(r.canonical_url for r in rows)
+        engine.page_crawled(batch)
+        links = [
+            (link, r.seq, pos, r.depth + 1)
+            for r in rows
+            for pos, link in enumerate(graph.get(r.canonical_url, []))
+        ]
+        batch.unpersist()
+        if links:
+            links_df = spark.createDataFrame(
+                links, "url string, parent_seq long, link_pos int, depth int"
+            )
+            engine.links_extracted(links_df)
+    states = {
+        r.canonical_url: r.state
+        for r in engine.table.read().select("canonical_url", "state").collect()
+    }
+    return order, states

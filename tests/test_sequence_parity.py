@@ -1,0 +1,120 @@
+"""Sequence parity: Spark engine order == single-threaded oracle order
+(SURVEY.md §5.1 — the reference's golden-sequence tests, tests/backends.py).
+
+Engine runs in single-partition "sequence mode" (n_partitions=1,
+mode='global') to reproduce the reference's single-consumer total order;
+multi-partition runs assert exact final seen-set equality instead
+(SURVEY.md §7.4.1).
+"""
+
+import pytest
+
+from frontera_spark.core.frontier import FrontierEngine
+from frontera_spark.core.oracle import QUEUED, SKIPPED_ROBOTS, crawl_sequence
+from frontera_spark.core.tester import run_crawl
+
+H1, H2, H3 = "https://a.example.test", "https://b.example.test", "https://c.example.test"
+
+G_2LEVEL = {
+    f"{H1}/root": [f"{H1}/a1", f"{H2}/a2"],
+    f"{H1}/a1": [f"{H1}/a11", f"{H1}/a12"],
+    f"{H2}/a2": [f"{H2}/a21", f"{H2}/a22"],
+}
+G_DIAMOND = {
+    f"{H1}/A": [f"{H1}/B", f"{H1}/C"],
+    f"{H1}/B": [f"{H1}/D"],
+    f"{H1}/C": [f"{H1}/D"],
+}
+G_CYCLE = {
+    f"{H1}/A": [f"{H1}/B"],
+    f"{H1}/B": [f"{H1}/C"],
+    f"{H1}/C": [f"{H1}/A"],
+}
+G_MULTIHOST = {
+    f"{h}/p{i}": ([f"{h}/p{i+1}"] if i < 4 else [f"{other}/p0"])
+    for h, other in [(H1, H2), (H2, H3), (H3, H1)]
+    for i in range(5)
+}
+
+
+def _engine(spark, tmp_path, strategy, n_partitions=1, **kw):
+    return FrontierEngine(
+        spark, str(tmp_path / f"eng_{strategy}"), n_partitions=n_partitions,
+        strategy=strategy, **kw,
+    )
+
+
+SEQ_CASES = [
+    ("bfs", G_2LEVEL, [f"{H1}/root"], 2),
+    ("dfs", G_2LEVEL, [f"{H1}/root"], 2),
+    ("fifo", G_2LEVEL, [f"{H1}/root"], 64),
+    ("lifo", G_2LEVEL, [f"{H1}/root"], 1),
+    ("bfs", G_DIAMOND, [f"{H1}/A"], 64),
+    ("bfs", G_CYCLE, [f"{H1}/A"], 1),
+    ("dfs", G_MULTIHOST, [f"{H1}/p0", f"{H2}/p0"], 3),
+]
+
+
+@pytest.mark.parametrize("strategy,graph,seeds,k", SEQ_CASES)
+def test_sequence_matches_oracle(spark, tmp_path, strategy, graph, seeds, k):
+    exp_order, exp_states = crawl_sequence(graph, seeds, strategy, k)
+    eng = _engine(spark, tmp_path, strategy)
+    got_order, got_states = run_crawl(eng, graph, seeds, k)
+    assert got_order == exp_order, f"{strategy} k={k}"
+    assert got_states == exp_states
+
+
+def test_dedup_diamond(spark, tmp_path):
+    """D is fetched exactly once despite two in-links (J2 anti-join)."""
+    eng = _engine(spark, tmp_path, "bfs")
+    order, _ = run_crawl(eng, G_DIAMOND, [f"{H1}/A"], 64)
+    assert order.count(f"{H1}/D") == 1
+    assert len(order) == len(set(order)) == 4
+
+
+def test_cycle_terminates(spark, tmp_path):
+    eng = _engine(spark, tmp_path, "bfs")
+    order, _ = run_crawl(eng, G_CYCLE, [f"{H1}/A"], 2, max_iterations=20)
+    assert len(order) == 3
+
+
+def test_multipartition_seen_set_parity(spark, tmp_path):
+    """P>1: total order may differ, final seen set must be identical."""
+    _, exp_states = crawl_sequence(G_MULTIHOST, [f"{H1}/p0"], "bfs", 2)
+    eng = _engine(spark, tmp_path, "bfs", n_partitions=4)
+    _, got_states = run_crawl(eng, G_MULTIHOST, [f"{H1}/p0"], 2, mode="per_partition")
+    assert got_states == exp_states
+
+
+def test_max_per_host_cap(spark, tmp_path):
+    """A2 batch shaping: per-host cap matches oracle pop-with-skip."""
+    exp_order, _ = crawl_sequence(
+        G_MULTIHOST, [f"{H1}/p0", f"{H2}/p0", f"{H3}/p0"], "fifo", 4, max_per_host=1
+    )
+    eng = _engine(spark, tmp_path, "fifo")
+    got_order, _ = run_crawl(
+        eng, G_MULTIHOST, [f"{H1}/p0", f"{H2}/p0", f"{H3}/p0"], 4, max_per_host=1
+    )
+    assert got_order == exp_order
+
+
+def test_robots_gate(spark, tmp_path):
+    """Robots-denied host: URLs recorded as SKIPPED_ROBOTS, never fetched."""
+    deny = frozenset(["b.example.test"])
+    exp_order, exp_states = crawl_sequence(
+        G_2LEVEL, [f"{H1}/root"], "bfs", 64, robots_deny_hosts=deny
+    )
+    eng = _engine(spark, tmp_path, "bfs", robots_deny_hosts=deny)
+    got_order, got_states = run_crawl(eng, G_2LEVEL, [f"{H1}/root"], 64)
+    assert got_order == exp_order
+    assert got_states == exp_states
+    assert got_states[f"{H2}/a2"] == SKIPPED_ROBOTS
+    assert f"{H2}/a2" not in got_order
+
+
+def test_max_depth_guard(spark, tmp_path):
+    exp_order, exp_states = crawl_sequence(G_CYCLE, [f"{H1}/A"], "bfs", 64, max_depth=1)
+    eng = _engine(spark, tmp_path, "bfs", max_depth=1)
+    got_order, got_states = run_crawl(eng, G_CYCLE, [f"{H1}/A"], 64)
+    assert got_order == exp_order == [f"{H1}/A", f"{H1}/B"]
+    assert got_states == exp_states
