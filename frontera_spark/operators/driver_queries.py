@@ -1,0 +1,579 @@
+"""Driver-contract queries: SURVEY.md §2 operators expressed over the
+driver's parquet tables, each paired with an ANSI-SQL oracle DuckDB runs on
+the same data (FIXTURES.md §7).
+
+Conventions that keep the driver's order-insensitive value-hash stable:
+- every computed column is aliased identically in Spark and SQL;
+- integer-ish outputs cast to bigint on the Spark side (DuckDB counts/len are
+  BIGINT);
+- float aggregates are either exact (decimal-summed, then cast to double) or
+  rounded to 4 decimals on both sides;
+- every LIMIT/top-k has a total deterministic ordering (unique tiebreak col).
+
+documents → crawl rows mapping (both engines derive identical inputs):
+url = 'https://h' || (doc_id % 31) || '.example.test/d/' || doc_id
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- utils
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _url(c="doc_id"):
+    return F.concat(
+        F.lit("https://h"), (F.col(c) % 31).cast("string"), F.lit(".example.test/d/"), F.col(c).cast("string")
+    )
+
+
+def _host(c="doc_id"):
+    return F.concat(F.lit("h"), (F.col(c) % 31).cast("string"), F.lit(".example.test"))
+
+
+_URL_SQL = "'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.test/d/' || CAST(doc_id AS VARCHAR)"
+_HOST_SQL = "'h' || CAST(doc_id % 31 AS VARCHAR) || '.example.test'"
+
+
+# ---------------------------------------------------------- S1/P1/P2: seeds
+
+
+def q_seed_projection(spark, sf_dir):
+    """Seed-ingest projection: url, host, hex fingerprint (md5 parity mode,
+    frontera/utils/fingerprint.py)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id"),
+            _url().alias("url"),
+            _host().alias("host"),
+            F.md5(F.encode(_url(), "utf-8")).alias("fingerprint"),
+        )
+    )
+
+
+SQL_SEED_PROJECTION = f"""
+SELECT doc_id, {_URL_SQL} AS url, {_HOST_SQL} AS host, md5({_URL_SQL}) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------- P5: canonicalization
+
+
+def q_canonicalize(spark, sf_dir):
+    """Canonicalizer UDF vs an independently-constructed expected string:
+    messy URL (case, unsorted query, fragment) → canonical form."""
+    from frontera_spark.functions.urls import canonicalize_urls_udf
+
+    messy = F.concat(
+        F.lit("HTTPS://H"), (F.col("doc_id") % 31).cast("string"),
+        F.lit(".Example.Test/d/"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), canonicalize_urls_udf(messy).alias("canonical_url"))
+    )
+
+
+SQL_CANONICALIZE = f"""
+SELECT doc_id, {_URL_SQL} || '?a=1&b=2' AS canonical_url FROM documents
+"""
+
+
+# ------------------------------------------------------- J2/P7: dedup anti-join
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    """Seen-state dedup: schedule only links NOT in the states store."""
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(F.col("doc_id"), F.md5(F.encode(_url(), "utf-8")).alias("fingerprint"))
+    states = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.encode(_url(), "utf-8")).alias("fingerprint")
+    )
+    return links.join(states, "fingerprint", "left_anti").select("doc_id", "fingerprint")
+
+
+SQL_DEDUP_ANTI_JOIN = f"""
+WITH links AS (SELECT doc_id, md5({_URL_SQL}) AS fingerprint FROM documents),
+states AS (SELECT md5({_URL_SQL}) AS fingerprint FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, fingerprint FROM links
+WHERE NOT EXISTS (SELECT 1 FROM states WHERE states.fingerprint = links.fingerprint)
+"""
+
+
+# ------------------------------------------------- A2/W1/T1: per-host top-k
+
+
+def q_perhost_topk(spark, sf_dir):
+    """Batch shaping: top-5 per host by score (HBaseQueue.get_next_requests
+    max_requests_per_host semantics)."""
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), _host().alias("host"), F.col("n_chars"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+SQL_PERHOST_TOPK = f"""
+SELECT doc_id, host, n_chars, rk FROM (
+  SELECT doc_id, {_HOST_SQL} AS host, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY {_HOST_SQL} ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 5
+"""
+
+
+# ------------------------------------------------------ W1: BFS pop ordering
+
+
+def q_bfs_order(spark, sf_dir):
+    """Priority ordering: (depth asc, seq asc) global rank, first 200 pops."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"), (F.col("user_id") % 5).cast("bigint").alias("depth")
+    )
+    w = Window.orderBy(F.asc("depth"), F.asc("seq"))
+    return ev.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= 200)
+
+
+SQL_BFS_ORDER = """
+SELECT seq, depth, rk FROM (
+  SELECT event_id AS seq, user_id % 5 AS depth,
+         ROW_NUMBER() OVER (ORDER BY user_id % 5 ASC, event_id ASC) AS rk
+  FROM events) WHERE rk <= 200
+"""
+
+
+# --------------------------------------------------------- A3: domain stats
+
+
+def q_host_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(_host().alias("host"))
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.floor(F.avg("n_chars") * 10000.0 + 0.5) / 10000.0).alias("avg_chars"),
+        )
+    )
+
+
+SQL_HOST_STATS = f"""
+SELECT {_HOST_SQL} AS host, COUNT(*) AS pages, SUM(n_chars) AS total_chars,
+       FLOOR(AVG(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------- A1/A5/E4: partition queue depth
+
+
+def q_partition_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 8).alias("partition_id"))
+        .agg(F.count("*").alias("pending"))
+    )
+
+
+SQL_PARTITION_COUNTS = """
+SELECT doc_id % 8 AS partition_id, COUNT(*) AS pending FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------- W2: score buckets
+
+
+def q_score_buckets(spark, sf_dir):
+    """Score∈[0,1] bucketed to fixed-resolution intervals (HBaseQueue keys)."""
+    score = (F.col("n_chars") % 101) / 100.0
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.floor(score * 100).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SCORE_BUCKETS = """
+SELECT FLOOR(((n_chars % 101) / 100.0) * 100) AS bucket, COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ J1: states batch fetch
+
+
+def q_states_lookup(spark, sf_dir):
+    """Lookup join: crawl-log events → states store, per-state event counts."""
+    ev = _t(spark, sf_dir, "events")
+    states = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), (F.col("doc_id") % 4).cast("bigint").alias("state")
+    )
+    return (
+        ev.join(states, ev.user_id == states.doc_id, "inner")
+        .groupBy("state")
+        .agg(F.count("*").alias("n_events"), F.count(F.col("doc_id")).alias("n_rows"))
+    )
+
+
+SQL_STATES_LOOKUP = """
+SELECT doc_id % 4 AS state, COUNT(*) AS n_events, COUNT(doc_id) AS n_rows
+FROM events JOIN documents ON events.user_id = documents.doc_id
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- J3: feed ⋈ corpus
+
+
+def q_feed_corpus_join(spark, sf_dir):
+    """Fetch stage: scheduled feed resolves payloads from the corpus table."""
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ev.join(docs, ev.user_id == docs.doc_id, "inner")
+        .groupBy(_host().alias("host"))
+        .agg(F.count("*").alias("fetches"), F.sum("n_chars").alias("bytes_fetched"))
+    )
+
+
+SQL_FEED_CORPUS_JOIN = f"""
+SELECT {_HOST_SQL} AS host, COUNT(*) AS fetches, SUM(n_chars) AS bytes_fetched
+FROM events JOIN documents ON events.user_id = documents.doc_id
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ X6: revisiting
+
+
+def q_revisit_due(spark, sf_dir):
+    """crawl_at <= batch timestamp filter (revisiting backend)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "click")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("due"))
+    )
+
+
+SQL_REVISIT_DUE = """
+SELECT user_id, COUNT(*) AS due FROM events
+WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'click'
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------ join/agg plumbing (TPC-H-ish)
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("_rev")
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderkey"),
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("o_totalprice"),
+            F.col("_rev").alias("_ord"),
+        )
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("_ord"), F.asc("o_orderkey"))).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .drop("_ord")
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+WITH rev AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey, CAST(r AS DOUBLE) AS revenue, o_totalprice, rk FROM (
+  SELECT o_orderkey, r, o_totalprice, ROW_NUMBER() OVER (ORDER BY r DESC, o_orderkey ASC) AS rk
+  FROM rev JOIN orders ON rev.l_orderkey = orders.o_orderkey)
+WHERE rk <= 10
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (decimal-exact sums cast to double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------- training-data ops: text dedup
+
+
+def q_tokenset_signature(spark, sf_dir):
+    """Exact near-dup signature: md5 of the sorted distinct token set
+    (whitespace tokenization) — hash-groupBy dedup family."""
+    toks = F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+")))
+    sig = F.md5(F.encode(F.array_join(toks, " "), "utf-8"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), sig.alias("signature"))
+    )
+
+
+SQL_TOKENSET_SIGNATURE = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')) AS signature
+FROM documents
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash over token 3-shingles: minhash = lexicographic min of
+    md5(shingle) (one-band signature; docs with >= 3 tokens)."""
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 3)
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    minhash = F.array_min(F.transform(shingles, lambda s: F.md5(F.encode(s, "utf-8"))))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(n >= 3)
+        .select(F.col("doc_id"), minhash.alias("minhash"))
+    )
+
+
+SQL_MINHASH_SIGNATURE = """
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+SELECT doc_id,
+  list_min(list_transform(range(len(t) - 2),
+           i -> md5(t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))) AS minhash
+FROM toks WHERE len(t) >= 3
+"""
+
+
+# ----------------------------------------- training-data ops: text analysis
+
+
+def q_token_stats(spark, sf_dir):
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("lang"), toks.alias("_n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            (F.floor(F.avg("_n") * 10000.0 + 0.5) / 10000.0).alias("avg_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS docs,
+  FLOOR(AVG(len(string_split_regex(text, '\\s+'))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+  MAX(len(string_split_regex(text, '\\s+'))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality heuristics: token count, mean token length, 'the'-stopword
+    hits — composite score, rounded."""
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("double")
+    the_hits = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5.0
+    avg_tok_len = F.length("text") / toks
+    raw = (
+        F.least(toks / 100.0, F.lit(1.0)) * 0.5
+        + F.least(the_hits / 5.0, F.lit(1.0)) * 0.2
+        + F.least(avg_tok_len / 8.0, F.lit(1.0)) * 0.3
+    )
+    # floor-based HALF_UP on identical IEEE inputs — Spark round() is HALF_UP
+    # but DuckDB round() is HALF_EVEN; this form is bit-identical across both
+    quality = F.floor(raw * 10000.0 + 0.5) / 10000.0
+    return _t(spark, sf_dir, "documents").select(F.col("doc_id"), quality.alias("quality"))
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id, FLOOR((
+    LEAST(len(string_split_regex(text, '\\s+')) / 100.0, 1.0) * 0.5
+  + LEAST(((length(text) - length(replace(text, ' the ', ''))) / 5.0) / 5.0, 1.0) * 0.2
+  + LEAST((length(text) / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)) / 8.0, 1.0) * 0.3
+  ) * 10000.0 + 0.5) / 10000.0 AS quality
+FROM documents
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic (mechanical, deterministic)."""
+
+    def hits(kw):
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(kw), F.lit("")))) / len(kw)
+
+    en, de, fr, es = hits(" the "), hits(" und "), hits(" et "), hits(" el ")
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(pred.alias("predicted"))
+        .groupBy("predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_LANGID_HEURISTIC = """
+WITH h AS (SELECT
+    (length(text) - length(replace(text, ' the ', ''))) / 5.0 AS en,
+    (length(text) - length(replace(text, ' und ', ''))) / 5.0 AS de,
+    (length(text) - length(replace(text, ' et ', ''))) / 4.0 AS fr,
+    (length(text) - length(replace(text, ' el ', ''))) / 4.0 AS es
+  FROM documents)
+SELECT CASE
+    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+    WHEN fr >= es AND fr > 0 THEN 'fr'
+    WHEN es > 0 THEN 'es'
+    ELSE 'und' END AS predicted, COUNT(*) AS n
+FROM h GROUP BY 1
+"""
+
+
+# -------------------------------------- training-data ops: similarity search
+
+
+def _cos_cols():
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.col("q")
+    dot = F.aggregate(F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(e, e, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(q, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    return F.floor((dot / (na * nb)) * 10000.0 + 0.5) / 10000.0
+
+
+def q_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("q")
+    )
+    sim = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id"), _cos_cols().alias("cos_sim"))
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return sim.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= 10)
+
+
+SQL_EMBED_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+sim AS (
+  SELECT vec_id,
+    FLOOR((list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(qe, qe)))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cos_sim, rk FROM (
+  SELECT vec_id, cos_sim, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sim)
+WHERE rk <= 10
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    """k-NN join: top-3 neighbors for each of the first 20 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("q"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("vec_id"), _cos_cols().alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(F.col("rk") <= 3)
+
+
+SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 20),
+sim AS (
+  SELECT query_id, vec_id,
+    FLOOR((list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(qe, qe)))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id)
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM sim)
+WHERE rk <= 3
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
+    "canonicalize": (q_canonicalize, SQL_CANONICALIZE),
+    "dedup_anti_join": (q_dedup_anti_join, SQL_DEDUP_ANTI_JOIN),
+    "perhost_topk": (q_perhost_topk, SQL_PERHOST_TOPK),
+    "bfs_order": (q_bfs_order, SQL_BFS_ORDER),
+    "host_stats": (q_host_stats, SQL_HOST_STATS),
+    "partition_counts": (q_partition_counts, SQL_PARTITION_COUNTS),
+    "score_buckets": (q_score_buckets, SQL_SCORE_BUCKETS),
+    "states_lookup": (q_states_lookup, SQL_STATES_LOOKUP),
+    "feed_corpus_join": (q_feed_corpus_join, SQL_FEED_CORPUS_JOIN),
+    "revisit_due": (q_revisit_due, SQL_REVISIT_DUE),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
+}
