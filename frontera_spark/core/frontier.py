@@ -165,23 +165,48 @@ class FrontierEngine:
             else F.lit(None).cast("int")
         )
         next_seq = self.next_seq
-        # seq allocation: one window over THIS batch only (bounded), never the
-        # table. Robots-skipped rows are recorded in the seen set but get no
-        # queue seq (parity: oracle assigns seq only to QUEUED rows).
-        w = Window.orderBy("_o1", "_o2")
         fresh = fresh.withColumn(
             "state",
             F.coalesce(state, F.lit(STATE_QUEUED)) if self.robots_deny_hosts else F.lit(STATE_QUEUED),
         )
-        queued_rank = F.row_number().over(
-            Window.partitionBy(F.col("state") == STATE_QUEUED).orderBy("_o1", "_o2")
+        # seq allocation = exact global discovery order (_o1,_o2) WITHOUT a
+        # single-partition sort: range-repartition on the order key (range
+        # partitions are assigned in sorted order → global order = (partition,
+        # in-partition rank)), rank inside each partition, then add driver-side
+        # cumulative offsets (one tiny P-row collect). Robots-skipped rows are
+        # recorded in the seen set but get no queue seq (parity: oracle assigns
+        # seq only to QUEUED rows).
+        ranged = (
+            fresh.repartitionByRange(self.n_partitions, "_o1", "_o2")
+            .withColumn("_spid", F.spark_partition_id())
+            .cache()
         )
-        fresh = fresh.withColumn(
-            "seq",
-            F.when(F.col("state") == STATE_QUEUED, queued_rank + F.lit(next_seq - 1)).otherwise(
-                F.lit(None).cast("long")
-            ),
+        qcounts = {
+            r["_spid"]: r["cnt"]
+            for r in ranged.filter(F.col("state") == STATE_QUEUED)
+            .groupBy("_spid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        acc = next_seq
+        offsets = {}
+        for spid in sorted(qcounts):
+            offsets[spid] = acc
+            acc += qcounts[spid]
+        off_expr = F.lit(next_seq)
+        if offsets:
+            off_expr = F.create_map(
+                *[F.lit(x) for spid, off in offsets.items() for x in (spid, off)]
+            )[F.col("_spid")]
+        wq = Window.partitionBy("_spid").orderBy("_o1", "_o2")
+        queued = (
+            ranged.filter(F.col("state") == STATE_QUEUED)
+            .withColumn("seq", F.row_number().over(wq) - 1 + off_expr)
         )
+        others = ranged.filter(F.col("state") != STATE_QUEUED).withColumn(
+            "seq", F.lit(None).cast("long")
+        )
+        fresh = queued.unionByName(others)
         rows = (
             fresh.withColumn("score", self.strategy.score())
             .withColumn("bucket", F.floor(F.col("score") * 100).cast("int"))
@@ -190,8 +215,19 @@ class FrontierEngine:
             .withColumn("crawl_at", F.lit(None).cast("timestamp"))
             .select(*FRONTIER_COLS)
         )
-        n_queued = rows.filter(F.col("state") == STATE_QUEUED).count()
-        self.table.upsert(rows, meta={"next_seq": next_seq + n_queued})
+        # n_queued falls out of the offsets collect — no extra count job
+        n_queued = acc - next_seq
+        if n_queued == 0 and not self.robots_deny_hosts:
+            # everything deduped out: nothing to merge, no new snapshot
+            ranged.unpersist()
+            candidates.unpersist()
+            return 0
+        # ``pids`` (all candidate partitions) over-approximates the touched
+        # set — safe: upsert rewrites-and-relinks those partitions either way
+        self.table.upsert(
+            rows, meta={"next_seq": next_seq + n_queued}, affected_pids=pids
+        )
+        ranged.unpersist()
         candidates.unpersist()
         return n_queued
 
@@ -260,16 +296,23 @@ class FrontierEngine:
             .drop("_rn")
         )
         marked = batch.select(*FRONTIER_COLS).withColumn("batch_id", F.lit(iteration))
-        # cache the batch: it is both the mark-merge source and the feed
+        # cache the batch: it is both the mark-merge source and the feed;
+        # one grouped collect yields emptiness check + touched partitions
         marked = marked.cache()
-        if marked.count() == 0:
+        pid_counts = marked.groupBy("partition_id").count().collect()
+        if not pid_counts:
             marked.unpersist()
             return marked.limit(0)
+        pids = [r["partition_id"] for r in pid_counts]
         if mark:
             # ``mark=False`` skips this merge for fused loops that commit
             # CRAWLED for the whole batch before the next pop anyway
             self.table.upsert(
-                marked, set_cols=["batch_id"], insert=False, meta={"iteration": iteration}
+                marked,
+                set_cols=["batch_id"],
+                insert=False,
+                meta={"iteration": iteration},
+                affected_pids=pids,
             )
         else:
             m = self.table.manifest()

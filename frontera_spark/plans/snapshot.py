@@ -140,20 +140,26 @@ class SnapshotTable:
         """Write df (must carry partition_id) as one snapshot leaf-dir set.
 
         Returns ({pid: [reldir]}, {pid: count}). One Spark write job; files
-        land partitioned by partition_id so reads prune.
+        land partitioned by partition_id so reads prune. The lineage counters
+        are read back from the written files' parquet footers (metadata-only
+        count) instead of recomputing the merge plan a second time.
         """
         rel = f"snap-{sid}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self._data_root, rel)
-        cnt_rows = (
-            df.groupBy(PARTITION_COL).count().collect()
-        )
-        counts = {str(r[PARTITION_COL]): r["count"] for r in cnt_rows}
         (
             df.repartition(PARTITION_COL)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(out)
         )
+        cnt_rows = (
+            self.spark.read.option("basePath", out)
+            .parquet(out)
+            .groupBy(PARTITION_COL)
+            .count()
+            .collect()
+        )
+        counts = {str(r[PARTITION_COL]): r["count"] for r in cnt_rows}
         dirs = {
             pid: [f"{rel}/{PARTITION_COL}={pid}"]
             for pid in counts
@@ -194,6 +200,7 @@ class SnapshotTable:
         set_cols: list[str] | None = None,
         insert: bool = True,
         meta: dict | None = None,
+        affected_pids: list[int] | None = None,
     ) -> int:
         """MERGE INTO this USING source ON key.
 
@@ -202,16 +209,27 @@ class SnapshotTable:
 
         Only partitions present in ``source`` are rewritten; the rest of the
         table is re-linked. Source MUST carry partition_id consistent with the
-        table's partitioning function.
+        table's partitioning function. Callers that already know the touched
+        partitions pass ``affected_pids`` to skip the probe job (every Spark
+        action here re-plans the source pipeline; fewer actions = the dominant
+        micro-batch cost at any scale).
         """
         m = self.manifest()
         key = m["key"]
         sid = m["snapshot_id"] + 1
-        affected = {
-            str(r[PARTITION_COL])
-            for r in source.select(PARTITION_COL).distinct().collect()
-        }
+        # cache the source: it feeds the affected-partition probe AND the
+        # merge join — without this the full upstream plan (UDFs, anti-joins)
+        # recomputes once per consumer
+        source = source.cache()
+        if affected_pids is not None:
+            affected = {str(p) for p in affected_pids}
+        else:
+            affected = {
+                str(r[PARTITION_COL])
+                for r in source.select(PARTITION_COL).distinct().collect()
+            }
         if not affected:
+            source.unpersist()
             return m["snapshot_id"]  # empty merge: no-op, no new snapshot
 
         target = self.read()
@@ -244,6 +262,7 @@ class SnapshotTable:
             merged = joined.filter(matched_t).select(*proj)
 
         new_dirs, new_counts = self._write_partitions(merged, sid)
+        source.unpersist()
         # partitions that became empty still count as affected (dropped)
         return self._commit(new_dirs, new_counts, affected, meta)
 
