@@ -1,0 +1,333 @@
+"""The crawl loop: one deterministic micro-batch per iteration (SURVEY.md §3.4).
+
+Collapses frontera's distributed spider ↔ strategy-worker ↔ DB-worker message
+cycle (frontera/worker/strategy.py, worker/db.py, core/manager.py — spider
+log / scoring log / spider feed hops) into one DataFrame pipeline per
+iteration:
+
+    feed_i    = engine.get_next_requests(...)          # batch generator
+    results_i = fetch(feed_i ⋈ corpus)                 # downloader simulator
+                + decode PNG, PSNR/caption invariant   #   (mapInPandas)
+    links_i   = explode(results_i.out_links)           # link extraction
+    engine.page_crawled(ok) / request_error(missing)   # spider log
+    engine.links_extracted(links_i)                    # scoring log → queue
+    metrics_i → workdir/metrics/iter=<i>/              # per-partition lineage
+
+Every stage is a DataFrame op; the only Python-side loop is over iterations
+(the micro-batch trigger). The fetch simulator replaces Scrapy's downloader
+(frontera/contrib/scrapy/schedulers/frontier.py) with an equi-join against the
+deterministic image+caption corpus — the per-row payload invariant
+(decoded-pixel PSNR vs the pre-quantization reference, caption equality) is
+checked in the same Arrow batch that "downloads" the page.
+
+Resume: all mutable state lives in the frontier snapshot table; a killed run
+restarts with ``CrawlLoop(...).run()`` — ``_recover()`` re-queues rows that
+were marked into a feed batch but never crawled (idempotent: fetching is a
+pure function of the corpus), and metrics for an iteration are overwritten,
+not appended, so a replayed iteration leaves one copy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frontera_spark import STATE_QUEUED
+from frontera_spark.core.frontier import FrontierEngine
+
+FETCH_RESULT_SCHEMA = (
+    "fingerprint long, canonical_url string, host string, partition_id int, "
+    "seq long, depth int, image_id string, caption string, phash long, "
+    "n_bytes int, psnr double, invariant_ok boolean, caption_ok boolean, "
+    "out_links array<string>"
+)
+
+METRICS_SCHEMA = (
+    "iteration int, partition_id int, n_fetched long, n_links long, "
+    "n_scheduled long, n_errors long, bytes_fetched long, psnr_min double, "
+    "invariant_violations long, t_sec double"
+)
+
+
+def fetch_stage(
+    feed: DataFrame, corpus: DataFrame, corpus_seed: int, check_invariant: bool = True
+) -> DataFrame:
+    """Downloader simulator (J3): feed ⋈ corpus + payload decode/validation.
+
+    The feed (≤ batch-size rows) is broadcast against the corpus scan; only
+    this stage ever touches the ``bytes`` column (parquet column pruning keeps
+    it out of every other scan — SURVEY.md §7.4.4). Rows whose URL has no
+    corpus entry come back with image_id NULL (a 404 → request_error).
+    """
+    pages = corpus.select(
+        F.col("url").alias("canonical_url"),
+        "image_id",
+        "bytes",
+        "fmt",
+        "caption",
+        "phash",
+        "out_links",
+    )
+    joined = F.broadcast(
+        feed.select("fingerprint", "canonical_url", "host", "partition_id", "seq", "depth")
+    ).join(pages, "canonical_url", "left")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from frontera_spark.sources.corpus import caption_of, raw_pixels
+        from frontera_spark.sources.png import decode_png, psnr
+
+        for pdf in batches:
+            out = pdf[
+                [
+                    "fingerprint",
+                    "canonical_url",
+                    "host",
+                    "partition_id",
+                    "seq",
+                    "depth",
+                    "image_id",
+                    "caption",
+                    "phash",
+                    "out_links",
+                ]
+            ].copy()
+            n_bytes, psnrs, inv_ok, cap_ok = [], [], [], []
+            for raw, image_id, caption in zip(pdf["bytes"], pdf["image_id"], pdf["caption"]):
+                if raw is None or image_id is None:
+                    n_bytes.append(0)
+                    psnrs.append(None)
+                    inv_ok.append(False)
+                    cap_ok.append(False)
+                    continue
+                n_bytes.append(len(raw))
+                if not check_invariant:
+                    psnrs.append(None)
+                    inv_ok.append(True)
+                    cap_ok.append(True)
+                    continue
+                idx = int(image_id[3:])
+                px = decode_png(bytes(raw))
+                ref = raw_pixels(corpus_seed, idx)
+                p = psnr(px, ref) if px.shape == ref.shape else 0.0
+                # lossless rows decode bit-exact (inf dB); lossy ('qpng')
+                # rows are quantized step-2 → ≥ 40 dB by construction
+                psnrs.append(None if np.isinf(p) else float(p))
+                inv_ok.append(bool(np.isinf(p) or p >= 40.0))
+                cap_ok.append(caption == caption_of(idx))
+            out["n_bytes"] = pd.Series(n_bytes, index=pdf.index, dtype="int32")
+            out["psnr"] = pd.Series(psnrs, index=pdf.index, dtype="float64")
+            out["invariant_ok"] = pd.Series(inv_ok, index=pdf.index, dtype="bool")
+            out["caption_ok"] = pd.Series(cap_ok, index=pdf.index, dtype="bool")
+            yield out[[c.split()[0] for c in FETCH_RESULT_SCHEMA.split(", ")]]
+
+    return joined.mapInPandas(decode, FETCH_RESULT_SCHEMA)
+
+
+def extract_links(results: DataFrame) -> DataFrame:
+    """links_extracted input: (url, parent_seq, link_pos, depth) rows in the
+    exact order the single-consumer reference ingests them."""
+    return results.select(
+        F.col("seq").alias("parent_seq"),
+        (F.col("depth") + 1).alias("depth"),
+        F.posexplode("out_links").alias("link_pos", "url"),
+    ).select("url", "parent_seq", "link_pos", "depth")
+
+
+class CrawlLoop:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        corpus_path: str,
+        corpus_seed: int = 42,
+        strategy: str = "bfs",
+        batch_size: int = 64,
+        max_per_host: int | None = None,
+        n_partitions: int = 8,
+        mode: str = "global",
+        check_invariant: bool = True,
+        robots_deny_hosts: frozenset | None = None,
+        max_depth: int | None = None,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.corpus_seed = corpus_seed
+        self.batch_size = batch_size
+        self.max_per_host = max_per_host
+        self.mode = mode
+        self.check_invariant = check_invariant
+        self.engine = FrontierEngine(
+            spark,
+            workdir,
+            n_partitions=n_partitions,
+            strategy=strategy,
+            robots_deny_hosts=robots_deny_hosts,
+            max_depth=max_depth,
+        )
+        self.corpus = spark.read.parquet(corpus_path)
+        self.metrics_dir = os.path.join(workdir, "metrics")
+
+    # ------------------------------------------------------------------ state
+
+    def _recover(self) -> None:
+        """Re-queue rows marked into a feed batch but never crawled (a crash
+        between mark and page_crawled): clear their batch_id so the next pop
+        sees them again. Fetching is deterministic → replay is idempotent."""
+        t = self.engine.table
+        stuck = t.read().filter(
+            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNotNull()
+        )
+        pid_rows = stuck.groupBy("partition_id").count().collect()
+        if not pid_rows:
+            return
+        src = stuck.withColumn("batch_id", F.lit(None).cast("long"))
+        t.upsert(
+            src,
+            set_cols=["batch_id"],
+            insert=False,
+            affected_pids=[r["partition_id"] for r in pid_rows],
+        )
+
+    def add_seeds(self, urls: list[str]) -> int:
+        seeds = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "url string, seq int"
+        )
+        return self.engine.add_seeds(seeds)
+
+    # ------------------------------------------------------------------- loop
+
+    def run_iteration(self) -> dict:
+        """One micro-batch; returns the iteration's aggregate metrics row."""
+        t0 = time.perf_counter()
+        feed = self.engine.get_next_requests(
+            self.batch_size, max_per_host=self.max_per_host, mode=self.mode
+        )
+        iteration = self.engine.iteration
+        if feed.isEmpty():
+            feed.unpersist()
+            return {"iteration": iteration, "n_fetched": 0}
+
+        results = fetch_stage(
+            feed, self.corpus, self.corpus_seed, self.check_invariant
+        ).cache()
+
+        ok = results.filter(F.col("image_id").isNotNull())
+        missing = results.filter(F.col("image_id").isNull())
+        self.engine.page_crawled(ok)
+        n_err = missing.count()
+        if n_err:
+            self.engine.request_error(missing)
+
+        links = extract_links(ok)
+        n_scheduled = self.engine.links_extracted(links)
+
+        # per-partition lineage counters (BASELINE north_rule: checkpointed
+        # resume **with per-partition lineage and counters**)
+        mrows = (
+            results.groupBy("partition_id")
+            .agg(
+                F.count(F.when(F.col("image_id").isNotNull(), 1)).alias("n_fetched"),
+                F.sum(F.size(F.coalesce("out_links", F.array()))).alias("n_links"),
+                F.count(F.when(F.col("image_id").isNull(), 1)).alias("n_errors"),
+                F.sum("n_bytes").alias("bytes_fetched"),
+                F.min("psnr").alias("psnr_min"),
+                F.count(F.when(~F.col("invariant_ok") | ~F.col("caption_ok"), 1)).alias(
+                    "invariant_violations"
+                ),
+            )
+            .collect()
+        )
+        t_sec = time.perf_counter() - t0
+        mpdf = pd.DataFrame([r.asDict() for r in mrows])
+        mpdf["iteration"] = iteration
+        mpdf["n_scheduled"] = n_scheduled  # batch-level (seq is global)
+        mpdf["t_sec"] = t_sec
+        mpdf = mpdf[[c.split()[0] for c in METRICS_SCHEMA.split(", ")]]
+        mdf = self.spark.createDataFrame(mpdf, METRICS_SCHEMA)
+        out = os.path.join(self.metrics_dir, f"iter={iteration}")
+        mdf.coalesce(1).write.mode("overwrite").parquet(out)
+
+        agg = {
+            "iteration": iteration,
+            "n_fetched": int(mpdf["n_fetched"].sum()),
+            "n_links": int(mpdf["n_links"].sum()),
+            "n_scheduled": n_scheduled,
+            "n_errors": n_err,
+            "bytes_fetched": int(mpdf["bytes_fetched"].sum()),
+            "invariant_violations": int(mpdf["invariant_violations"].sum()),
+            "t_sec": round(t_sec, 3),
+        }
+        results.unpersist()
+        feed.unpersist()
+        return agg
+
+    def run(self, max_iterations: int = 10_000, verbose: bool = False) -> list[dict]:
+        """Crawl to exhaustion (or the iteration cap). Safe after a crash."""
+        self._recover()
+        history = []
+        for _ in range(max_iterations):
+            m = self.run_iteration()
+            if verbose:
+                print(m)
+            if m["n_fetched"] == 0:
+                break
+            history.append(m)
+        return history
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.metrics_dir).parquet(
+            os.path.join(self.metrics_dir, "iter=*")
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Run a corpus-backed crawl loop.")
+    ap.add_argument("--n-images", type=int, default=200)
+    ap.add_argument("--n-hosts", type=int, default=7)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--strategy", default="bfs")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--max-per-host", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--mode", default="global", choices=["global", "per_partition"])
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from frontera_spark.session import get_spark
+    from frontera_spark.sources.corpus import url_of, write_corpus
+
+    spark = get_spark("crawl_loop", master=args.master)
+    corpus_path = os.path.join(args.workdir, "corpus")
+    if not os.path.exists(corpus_path):
+        write_corpus(spark, corpus_path, args.n_images, args.n_hosts, args.seed)
+    loop = CrawlLoop(
+        spark,
+        os.path.join(args.workdir, "engine"),
+        corpus_path,
+        corpus_seed=args.seed,
+        strategy=args.strategy,
+        batch_size=args.batch,
+        max_per_host=args.max_per_host,
+        n_partitions=args.partitions,
+        mode=args.mode,
+    )
+    if loop.engine.count() == 0:
+        loop.add_seeds([url_of(0, args.n_hosts)])
+    hist = loop.run(verbose=True)
+    total = sum(m["n_fetched"] for m in hist)
+    viol = sum(m.get("invariant_violations", 0) for m in hist)
+    print(f"crawled {total} pages in {len(hist)} iterations; invariant violations: {viol}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
