@@ -37,18 +37,31 @@ ORDERINGS = {
 
 @dataclass
 class OracleFrontier:
-    """Heap+dict model of one crawl frontier."""
+    """Heap+dict model of one crawl frontier.
+
+    ``politeness`` maps host -> dict(delay_s, budget, robots_allow) and turns
+    on the token-bucket scheduler model (the OverusedBuffer + politeness-delay
+    analogue, frontera/core/__init__.py:~20-120): tokens accrue at 1/delay_s
+    per second of the deterministic clock (t = iteration * batch_period),
+    capped at ``token_cap``; a throttled host's URLs stay queued while other
+    hosts are served; ``budget`` is a lifetime fetch cap per host;
+    ``robots_allow=False`` hosts are marked SKIPPED_ROBOTS at pop time.
+    """
 
     strategy: str = "bfs"
     max_depth: int | None = None
     max_url_length: int = 2048
     robots_deny_hosts: frozenset = frozenset()
     max_per_host: int | None = None
+    politeness: dict | None = None
+    token_cap: float = 8.0
 
     seq: int = 0
     states: dict = field(default_factory=dict)  # canonical_url -> state
     depths: dict = field(default_factory=dict)
     heap: list = field(default_factory=list)
+    tokens: dict = field(default_factory=dict)  # host -> (tokens, last_refill)
+    fetched: dict = field(default_factory=dict)  # host -> lifetime count
 
     def _host(self, url: str) -> str:
         from urllib.parse import urlsplit
@@ -76,22 +89,75 @@ class OracleFrontier:
         for u in urls:
             self._schedule(u, 0)
 
-    def get_next_requests(self, max_n: int) -> list[str]:
-        """Destructive top-k pop, optional per-host cap within the batch."""
+    def _host_allowance(self, host: str, t_now: float) -> float:
+        """Refill this host's token bucket to clock t_now; return spendable
+        tokens (inf when the host has no politeness entry)."""
+        cfg = (self.politeness or {}).get(host)
+        if cfg is None:
+            return float("inf")
+        if not cfg.get("robots_allow", True):
+            return -1.0  # sentinel: robots-denied at pop time
+        toks, last = self.tokens.get(host, (self.token_cap, 0.0))
+        delay = cfg.get("delay_s") or 0.0
+        if delay > 0:
+            toks = min(self.token_cap, toks + (t_now - last) / delay)
+        else:
+            toks = self.token_cap
+        self.tokens[host] = (toks, t_now)
+        budget = cfg.get("budget")
+        if budget is not None:
+            toks = min(toks, budget - self.fetched.get(host, 0))
+        return toks
+
+    def get_next_requests(self, max_n: int, t_now: float = 0.0) -> list[str]:
+        """Destructive top-k pop: per-host cap within the batch, token-bucket
+        politeness + budget + robots gating when ``politeness`` is set.
+        Throttled/capped items go back on the heap (OverusedBuffer: buffer the
+        overused host's requests, serve other hosts)."""
         batch: list[str] = []
         skipped: list = []
         per_host: dict[str, int] = {}
+        allowance: dict[str, float] = {}
         while self.heap and len(batch) < max_n:
             key, seq, url = heapq.heappop(self.heap)
             host = self._host(url)
+            if host not in allowance:
+                allowance[host] = self._host_allowance(host, t_now)
+            if allowance[host] < 0:
+                self.states[url] = SKIPPED_ROBOTS  # robots learned post-queue
+                continue
             if self.max_per_host is not None and per_host.get(host, 0) >= self.max_per_host:
                 skipped.append((key, seq, url))
                 continue
+            if allowance[host] < 1.0:
+                skipped.append((key, seq, url))
+                continue
+            allowance[host] -= 1.0
             per_host[host] = per_host.get(host, 0) + 1
             batch.append(url)
         for item in skipped:
             heapq.heappush(self.heap, item)
+        for host, n in per_host.items():
+            if self.politeness and host in self.politeness:
+                toks, last = self.tokens[host]
+                self.tokens[host] = (toks - n, last)
+                self.fetched[host] = self.fetched.get(host, 0) + n
         return batch
+
+    def can_make_progress(self) -> bool:
+        """True if some queued URL can EVENTUALLY be served: its host is not
+        robots-denied and has lifetime budget left (tokens always refill given
+        enough clock, so budget/robots are the only permanent blocks)."""
+        for _key, _seq, url in self.heap:
+            cfg = (self.politeness or {}).get(self._host(url))
+            if cfg is None:
+                return True
+            if not cfg.get("robots_allow", True):
+                continue
+            budget = cfg.get("budget")
+            if budget is None or budget - self.fetched.get(self._host(url), 0) >= 1:
+                return True
+        return False
 
     def page_crawled(self, url: str) -> None:
         self.states[canonicalize_url(url)] = CRAWLED
@@ -111,20 +177,24 @@ def crawl_sequence(
     strategy: str,
     max_next_requests: int,
     max_iterations: int = 10_000,
+    batch_period: float = 1.0,
     **kwargs,
 ) -> tuple[list[str], dict]:
     """Run a full simulated crawl; return (fetch order, final states).
 
     ``graph`` maps canonical URL -> out-links (the downloader simulator,
     frontera/utils/tester.py semantics: every fetch succeeds, links of a
-    batch are ingested page by page in batch order).
+    batch are ingested page by page in batch order). The politeness clock is
+    deterministic: iteration i runs at t = i * batch_period.
     """
     f = OracleFrontier(strategy=strategy, **kwargs)
     f.add_seeds(seeds)
     order: list[str] = []
-    for _ in range(max_iterations):
-        batch = f.get_next_requests(max_next_requests)
+    for it in range(max_iterations):
+        batch = f.get_next_requests(max_next_requests, t_now=it * batch_period)
         if not batch:
+            if f.can_make_progress():
+                continue  # all hosts throttled this tick; let the clock run
             break
         for url in batch:
             f.page_crawled(url)

@@ -1,0 +1,328 @@
+"""Politeness: domain metadata, token buckets, robots gating (SURVEY.md M5).
+
+Reference semantics being reproduced, Spark-first:
+
+- **DomainMetadata / DomainCache** (frontera/core/components.py:~200-230,
+  frontera/contrib/backends/hbase/domaincache.py:~1-300): per-host KV with
+  batched write-back → here a partitioned ``domain_metadata`` snapshot table,
+  MERGE-updated once per micro-batch (the batch IS the write-back flush).
+- **OverusedBuffer** (frontera/core/__init__.py:~20-120): when a host is over
+  its politeness allowance, buffer its requests and serve other hosts → here
+  the throttled host's rows simply stay QUEUED in the frontier (the table is
+  the buffer) while the scheduler walk passes over them.
+- **Politeness delay / budget**: token bucket per host — tokens accrue at
+  1/delay_s per second of the deterministic crawl clock (t = iteration ×
+  batch_period), capped at ``token_cap``; ``budget`` is a lifetime fetch cap;
+  ``robots_allow=false`` hosts are marked SKIPPED_ROBOTS at pop time (robots
+  learned after queueing). Identical logic lives in the pure-Python oracle
+  (core/oracle.py) — parity tests pin both.
+
+Scale shape: queued rows and domain rows share partition_id = crc32(host) % P
+(Crc32NamePartitioner), so the rows↔policy join is co-partitioned and each
+``applyInPandas`` group schedules its partition's hosts with no cross-
+partition state — one host is never split across schedulers (politeness needs
+no global view). ``mode='global'`` collapses to one group for single-consumer
+reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frontera_spark import STATE_QUEUED, STATE_SKIPPED_ROBOTS
+from frontera_spark.core.frontier import FRONTIER_COLS, FrontierEngine
+from frontera_spark.functions.fingerprint import partition_id_col
+
+DOMAIN_SCHEMA = (
+    "host string, partition_id int, robots_allow boolean, delay_s double, "
+    "budget long, tokens double, last_refill double, fetched long"
+)
+
+_SCHED_SCHEMA = (
+    "fingerprint long, partition_id int, batch_id long, state int, "
+    "_emit string, _has_policy boolean, host string, _tokens_after double, "
+    "_fetched_after long, _last_refill double"
+)
+
+
+class DomainMetadata:
+    """Partitioned per-host policy + politeness-state table."""
+
+    def __init__(self, spark: SparkSession, workdir: str, n_partitions: int, token_cap: float = 8.0):
+        from frontera_spark.plans.snapshot import SnapshotTable
+
+        self.spark = spark
+        self.n_partitions = n_partitions
+        self.token_cap = token_cap
+        path = os.path.join(workdir, "domain_metadata")
+        if os.path.exists(os.path.join(path, "CURRENT")):
+            self.table = SnapshotTable.load(spark, path)
+        else:
+            self.table = SnapshotTable.create(spark, path, DOMAIN_SCHEMA, key=["host"])
+
+    def set_policies(self, policies: DataFrame) -> None:
+        """MERGE host policies: df(host, robots_allow, delay_s, budget).
+        Buckets start full (token_cap) at clock 0."""
+        rows = (
+            policies.withColumn("partition_id", partition_id_col(F.col("host"), self.n_partitions))
+            .withColumn("tokens", F.lit(float(self.token_cap)))
+            .withColumn("last_refill", F.lit(0.0))
+            .withColumn("fetched", F.lit(0).cast("long"))
+            .select(*[c.split()[0] for c in DOMAIN_SCHEMA.split(", ")])
+        )
+        self.table.upsert(rows)
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+
+class PoliteScheduler:
+    """Batch generator with per-host token buckets (the DBWorker batch-gen +
+    OverusedBuffer stage, frontera/worker/db.py:~150-220 + core/__init__.py)."""
+
+    def __init__(
+        self,
+        engine: FrontierEngine,
+        domains: DomainMetadata,
+        batch_period: float = 1.0,
+        token_cap: float = 8.0,
+    ):
+        self.engine = engine
+        self.domains = domains
+        self.batch_period = batch_period
+        self.token_cap = token_cap
+
+    def _ordering_cols(self, df: DataFrame, iteration: int) -> DataFrame:
+        """Materialize the strategy ordering as two ascending sort columns so
+        the pandas walk needs no strategy-specific code."""
+        name = self.engine.strategy.name
+        if name == "fifo":
+            o1, o2 = F.lit(0).cast("long"), F.col("seq")
+        elif name == "lifo":
+            o1, o2 = F.lit(0).cast("long"), -F.col("seq")
+        elif name == "bfs":
+            o1, o2 = F.col("depth").cast("long"), F.col("seq")
+        elif name == "dfs":
+            o1, o2 = -F.col("depth").cast("long"), F.col("seq")
+        else:  # random: deterministic per-iteration shuffle
+            o1, o2 = F.xxhash64(F.col("canonical_url"), F.lit(iteration)), F.lit(0).cast("long")
+        return df.withColumn("_ord1", o1).withColumn("_ord2", o2)
+
+    def decide(
+        self,
+        iteration: int,
+        max_n: int,
+        max_per_host: int | None = None,
+        mode: str = "global",
+    ) -> DataFrame:
+        """The scheduling decision stage: strategy-ordered walk with token
+        buckets inside applyInPandas. Returns rows tagged ``_emit`` ∈
+        {feed, robots, domain} (pure — commits nothing)."""
+        engine, domains = self.engine, self.domains
+        # clock parity with the oracle: the FIRST pop runs at t=0 (buckets
+        # start full at last_refill=0), the k-th at (k-1)*batch_period
+        t_now = (iteration - 1) * self.batch_period
+        token_cap = self.token_cap
+        mph = max_per_host
+
+        cand = engine.table.read().filter(
+            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+        )
+        cand = self._ordering_cols(cand, iteration)
+        pol = domains.read().select(
+            "host", "robots_allow", "delay_s", "budget", "tokens", "last_refill", "fetched"
+        )
+        joined = cand.join(pol, "host", "left").withColumn(
+            "_grp", F.lit(0) if mode == "global" else F.col("partition_id")
+        )
+
+        def schedule(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in groups:
+                pdf = pdf.sort_values(["_ord1", "_ord2"], kind="mergesort")
+                allowance: dict[str, float] = {}
+                refilled: dict[str, float] = {}
+                fetched0: dict[str, int] = {}
+                per_host: dict[str, int] = {}
+                has_policy: dict[str, bool] = {}
+                out = {
+                    "fingerprint": [], "partition_id": [], "batch_id": [], "state": [],
+                    "_emit": [], "_has_policy": [], "host": [], "_tokens_after": [],
+                    "_fetched_after": [], "_last_refill": [],
+                }
+                n_served = 0
+                for row in pdf.itertuples(index=False):
+                    if n_served >= max_n:
+                        break
+                    host = row.host
+                    if host not in allowance:
+                        has_pol = row.robots_allow is not None and not pd.isna(row.robots_allow)
+                        has_policy[host] = bool(has_pol)
+                        if not has_pol:
+                            allowance[host] = float("inf")
+                        elif not row.robots_allow:
+                            allowance[host] = -1.0
+                        else:
+                            toks = float(row.tokens) if not pd.isna(row.tokens) else token_cap
+                            last = float(row.last_refill) if not pd.isna(row.last_refill) else 0.0
+                            delay = float(row.delay_s) if not pd.isna(row.delay_s) else 0.0
+                            if delay > 0:
+                                toks = min(token_cap, toks + (t_now - last) / delay)
+                            else:
+                                toks = token_cap
+                            refilled[host] = toks
+                            fetched0[host] = (
+                                int(row.fetched) if not pd.isna(row.fetched) else 0
+                            )
+                            if row.budget is not None and not pd.isna(row.budget):
+                                toks = min(toks, float(row.budget) - fetched0[host])
+                            allowance[host] = toks
+                    if allowance[host] < 0:  # robots-denied at pop time
+                        out["fingerprint"].append(row.fingerprint)
+                        out["partition_id"].append(row.partition_id)
+                        out["batch_id"].append(None)
+                        out["state"].append(STATE_SKIPPED_ROBOTS)
+                        out["_emit"].append("robots")
+                        out["_has_policy"].append(True)
+                        out["host"].append(host)
+                        out["_tokens_after"].append(None)
+                        out["_fetched_after"].append(None)
+                        out["_last_refill"].append(None)
+                        continue
+                    if mph is not None and per_host.get(host, 0) >= mph:
+                        continue  # stays QUEUED (OverusedBuffer carry-over)
+                    if allowance[host] < 1.0:
+                        continue  # throttled: stays QUEUED
+                    allowance[host] -= 1.0
+                    per_host[host] = per_host.get(host, 0) + 1
+                    n_served += 1
+                    out["fingerprint"].append(row.fingerprint)
+                    out["partition_id"].append(row.partition_id)
+                    out["batch_id"].append(iteration)
+                    out["state"].append(STATE_QUEUED)
+                    out["_emit"].append("feed")
+                    out["_has_policy"].append(has_policy[host])
+                    out["host"].append(host)
+                    out["_tokens_after"].append(None)
+                    out["_fetched_after"].append(None)
+                    out["_last_refill"].append(None)
+                # one domain-update row per touched host with a policy
+                for host, n in per_host.items():
+                    if not has_policy.get(host):
+                        continue
+                    out["fingerprint"].append(None)
+                    out["partition_id"].append(None)
+                    out["batch_id"].append(None)
+                    out["state"].append(None)
+                    out["_emit"].append("domain")
+                    out["_has_policy"].append(True)
+                    out["host"].append(host)
+                    out["_tokens_after"].append(refilled[host] - n)
+                    out["_fetched_after"].append(fetched0[host] + n)
+                    out["_last_refill"].append(t_now)
+                # int64 columns MUST go through nullable Int64 arrays directly:
+                # a mixed int/None list becomes float64 first and silently
+                # rounds 64-bit fingerprints (> 2^53) to wrong values
+                yield pd.DataFrame(
+                    {
+                        "fingerprint": pd.array(out["fingerprint"], dtype="Int64"),
+                        "partition_id": pd.array(out["partition_id"], dtype="Int32"),
+                        "batch_id": pd.array(out["batch_id"], dtype="Int64"),
+                        "state": pd.array(out["state"], dtype="Int32"),
+                        "_emit": out["_emit"],
+                        "_has_policy": out["_has_policy"],
+                        "host": out["host"],
+                        "_tokens_after": pd.Series(out["_tokens_after"], dtype="float64"),
+                        "_fetched_after": pd.array(out["_fetched_after"], dtype="Int64"),
+                        "_last_refill": pd.Series(out["_last_refill"], dtype="float64"),
+                    }
+                )
+
+        return joined.groupBy("_grp").applyInPandas(schedule, _SCHED_SCHEMA)
+
+    def pop(self, max_n: int, max_per_host: int | None = None, mode: str = "global") -> DataFrame:
+        """Strategy-ordered, politeness-gated destructive pop.
+
+        Returns the feed batch (frontier columns) and commits, in ONE frontier
+        MERGE: batch_id for served rows + SKIPPED_ROBOTS for robots-denied
+        rows encountered during the walk; plus one domain_metadata MERGE for
+        the touched hosts' (tokens, last_refill, fetched).
+        """
+        engine, domains = self.engine, self.domains
+        iteration = engine.iteration + 1
+        decisions = self.decide(iteration, max_n, max_per_host, mode).cache()
+
+        # frontier commit: feed marks + robots skips in one MERGE
+        marks = decisions.filter(F.col("_emit").isin("feed", "robots"))
+        touched = marks.groupBy("partition_id").count().collect()
+        if not touched:
+            # nothing servable this tick — still advance the crawl clock so
+            # token buckets refill on the next pop (else throttled hosts
+            # would deadlock the loop)
+            m = engine.table.manifest()
+            m["meta"]["iteration"] = iteration
+            m["snapshot_id"] += 1
+            m["parent_id"] = m["snapshot_id"] - 1
+            engine.table._write_manifest(m)
+            decisions.unpersist()
+            return engine.table.read().limit(0)
+        full = (
+            marks.select("fingerprint", "partition_id", "batch_id", "state")
+            .join(
+                engine.table.read().drop("batch_id", "state"),
+                ["fingerprint", "partition_id"],
+                "inner",
+            )
+            .select(*FRONTIER_COLS)
+        )
+        engine.table.upsert(
+            full,
+            set_cols=["batch_id", "state"],
+            insert=False,
+            meta={"iteration": iteration},
+            affected_pids=[r["partition_id"] for r in touched],
+        )
+
+        # domain write-back MERGE (the DomainCache batched flush)
+        dom = decisions.filter(F.col("_emit") == "domain").select(
+            "host",
+            F.col("_tokens_after").alias("tokens"),
+            F.col("_last_refill").alias("last_refill"),
+            F.col("_fetched_after").alias("fetched"),
+        )
+        dom_full = dom.join(
+            domains.read().drop("tokens", "last_refill", "fetched"), "host", "inner"
+        ).select(*[c.split()[0] for c in DOMAIN_SCHEMA.split(", ")])
+        if not dom.isEmpty():
+            domains.table.upsert(dom_full, set_cols=["tokens", "last_refill", "fetched"])
+
+        feed = (
+            decisions.filter(F.col("_emit") == "feed")
+            .select("fingerprint", "partition_id")
+            .join(engine.table.read(), ["fingerprint", "partition_id"], "inner")
+            .select(*FRONTIER_COLS)
+        ).cache()
+        feed.count()  # materialize before dropping the decisions cache
+        decisions.unpersist()
+        return feed
+
+    def has_pending(self) -> bool:
+        """True if some QUEUED row can eventually be served (host not robots-
+        denied, budget not exhausted) — the loop-termination predicate."""
+        cand = self.engine.table.read().filter(
+            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+        )
+        pol = self.domains.read().select("host", "robots_allow", "budget", "fetched")
+        j = cand.join(pol, "host", "left")
+        serveable = j.filter(
+            F.col("robots_allow").isNull()
+            | (
+                F.col("robots_allow")
+                & (F.col("budget").isNull() | (F.col("budget") - F.col("fetched") >= 1))
+            )
+        )
+        return not serveable.isEmpty()

@@ -156,6 +156,9 @@ class CrawlLoop:
         check_invariant: bool = True,
         robots_deny_hosts: frozenset | None = None,
         max_depth: int | None = None,
+        politeness: DataFrame | None = None,
+        batch_period: float = 1.0,
+        token_cap: float = 8.0,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -174,6 +177,16 @@ class CrawlLoop:
         )
         self.corpus = spark.read.parquet(corpus_path)
         self.metrics_dir = os.path.join(workdir, "metrics")
+        self.scheduler = None
+        if politeness is not None:
+            from frontera_spark.core.politeness import DomainMetadata, PoliteScheduler
+
+            domains = DomainMetadata(spark, workdir, n_partitions, token_cap=token_cap)
+            if domains.table.snapshot_id == 0:  # fresh table: load policies once
+                domains.set_policies(politeness)
+            self.scheduler = PoliteScheduler(
+                self.engine, domains, batch_period=batch_period, token_cap=token_cap
+            )
 
     # ------------------------------------------------------------------ state
 
@@ -207,9 +220,14 @@ class CrawlLoop:
     def run_iteration(self) -> dict:
         """One micro-batch; returns the iteration's aggregate metrics row."""
         t0 = time.perf_counter()
-        feed = self.engine.get_next_requests(
-            self.batch_size, max_per_host=self.max_per_host, mode=self.mode
-        )
+        if self.scheduler is not None:
+            feed = self.scheduler.pop(
+                self.batch_size, max_per_host=self.max_per_host, mode=self.mode
+            )
+        else:
+            feed = self.engine.get_next_requests(
+                self.batch_size, max_per_host=self.max_per_host, mode=self.mode
+            )
         iteration = self.engine.iteration
         if feed.isEmpty():
             feed.unpersist()
@@ -278,6 +296,11 @@ class CrawlLoop:
             if verbose:
                 print(m)
             if m["n_fetched"] == 0:
+                # with politeness an empty tick may just mean "all hosts
+                # throttled right now" — stop only when nothing can EVER be
+                # served (robots/budget), mirroring oracle.can_make_progress
+                if self.scheduler is not None and self.scheduler.has_pending():
+                    continue
                 break
             history.append(m)
         return history
