@@ -71,6 +71,8 @@ class FrontierEngine:
         max_url_length: int = 2048,
         robots_deny_hosts: frozenset | None = None,
         jid: int = 0,
+        use_seen_shards: bool = False,
+        shard_capacity: int = 1 << 20,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -85,6 +87,16 @@ class FrontierEngine:
             self.table = SnapshotTable.load(spark, path)
         else:
             self.table = SnapshotTable.create(spark, path, FRONTIER_SCHEMA, key=["fingerprint"])
+        self.seen = None
+        if use_seen_shards:
+            from frontera_spark.core.seen import SeenShards
+
+            self.seen = SeenShards(workdir, capacity=shard_capacity)
+            if self.seen.stale(self.seen_gen):
+                # crash between shard write and manifest sync, or a foreign
+                # table mutation: rebuild shards from the committed table
+                self.seen.rebuild(self.table.read())
+                self.seen.commit(self.seen_gen)
 
     # ------------------------------------------------------------ properties
 
@@ -95,6 +107,12 @@ class FrontierEngine:
     @property
     def iteration(self) -> int:
         return int(self.table.manifest()["meta"].get("iteration", 0))
+
+    @property
+    def seen_gen(self) -> int:
+        """Counts seen-set INSERT commits only (marks/clock bumps don't change
+        membership) — the freshness key for the bloom/cuckoo shards."""
+        return int(self.table.manifest()["meta"].get("seen_gen", 0))
 
     def count(self, state: int | None = None) -> int:
         """Queue.count() parity (frontera/core/components.py:~130)."""
@@ -152,12 +170,24 @@ class FrontierEngine:
         if not pids:
             candidates.unpersist()
             return 0
-        seen = (
+        seen_scan = (
             self.table.read()
             .filter(F.col("partition_id").isin(pids))
             .select("fingerprint")
         )
-        fresh = candidates.join(seen, "fingerprint", "left_anti")
+        if self.seen is not None:
+            # bloom+cuckoo pre-filter (probed against shards synced to the
+            # PRE-batch seen set — shard files only change in the add() after
+            # the merge): a narrow (pid, fingerprint) probe finds the "maybe
+            # seen" minority, the exact semi-join confirms true dups, and the
+            # wide candidate rows are anti-joined only against that (small,
+            # AQE-broadcastable) confirmed set — the fresh majority never
+            # shuffles through the seen-set scan
+            maybe = self.seen.maybe_seen(candidates)
+            truly_seen = maybe.join(seen_scan, "fingerprint", "left_semi")
+            fresh = candidates.join(truly_seen, "fingerprint", "left_anti")
+        else:
+            fresh = candidates.join(seen_scan, "fingerprint", "left_anti")
 
         state = (
             F.when(F.col("host").isin(list(self.robots_deny_hosts)), F.lit(STATE_SKIPPED_ROBOTS))
@@ -224,9 +254,18 @@ class FrontierEngine:
             return 0
         # ``pids`` (all candidate partitions) over-approximates the touched
         # set — safe: upsert rewrites-and-relinks those partitions either way
+        gen = self.seen_gen + 1
         self.table.upsert(
-            rows, meta={"next_seq": next_seq + n_queued}, affected_pids=pids
+            rows,
+            meta={"next_seq": next_seq + n_queued, "seen_gen": gen},
+            affected_pids=pids,
         )
+        if self.seen is not None:
+            # shard update AFTER the merge, manifest sync last: a crash in
+            # between leaves the manifest stale → rebuild at next load, so
+            # shards are always a superset of the committed seen set
+            self.seen.add(candidates.select("partition_id", "fingerprint"))
+            self.seen.commit(gen)
         ranged.unpersist()
         candidates.unpersist()
         return n_queued

@@ -1,0 +1,220 @@
+"""Partitioned bloom+cuckoo seen-set shards (SURVEY.md M6, north-rule item).
+
+One (bloom, cuckoo) shard pair per frontier partition, stored as files under
+``<workdir>/seen_shards/shard-<pid>.bin`` with a JSON manifest pinning the
+seen-set generation (insert-commit counter) they are synced to. Both filters are **negative
+pre-filters** in front of the exact anti-join (frontera's States store is
+exact — SURVEY.md §1.2): a row is "maybe seen" only if BOTH filters say so
+(each is a superset of the seen set, so the intersection still is, and the
+combined false-positive rate is the product of the two). "Definitely new"
+rows skip the anti-join entirely — at 10^10-URL scale that removes the
+shuffle for the (dominant) fresh fraction of every batch; "maybe" rows go
+through the exact join, so a false positive can never drop a URL
+(SURVEY.md §7.4.2). The cuckoo shard additionally supports deletes for
+physical evictions (TTL purges), where a bloom would silently go stale.
+
+Scale shape:
+- **update** is distributed: candidates are grouped by partition_id and each
+  ``applyInPandas`` task loads, extends, and atomically rewrites ONLY its
+  shard file (single-writer loop ⇒ one task per shard per batch);
+- **classify** is a ``mapInPandas`` over candidates — each task lazily loads
+  the shard files its rows reference through a per-worker mtime-keyed cache;
+- **crash safety**: shards are written before the frontier MERGE commits and
+  the manifest is synced after, so shards are always a superset of the
+  committed seen set; a manifest/table snapshot mismatch at load time
+  triggers a distributed rebuild from the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from frontera_spark.functions.filters import BloomFilter, CuckooFilter
+
+# per-executor-worker shard LRU: (path, mtime) -> (bloom, cuckoo). Bounded so
+# long-lived workers don't accumulate stale generations; big enough that one
+# worker can hold every shard of a job (classify batches interleave pids).
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 128
+
+
+def _shard_path(shard_dir: str, pid: int) -> str:
+    return os.path.join(shard_dir, f"shard-{pid}.bin")
+
+
+def _write_shard(path: str, bloom: BloomFilter, cuckoo: CuckooFilter) -> None:
+    b, c = bloom.to_bytes(), cuckoo.to_bytes()
+    blob = np.array([len(b), len(c)], dtype=np.int64).tobytes() + b + c
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
+    if not os.path.exists(path):
+        return BloomFilter(capacity), CuckooFilter(capacity)
+    with open(path, "rb") as f:
+        blob = f.read()
+    nb, nc = np.frombuffer(blob[:16], dtype=np.int64)
+    bloom = BloomFilter.from_bytes(blob[16 : 16 + int(nb)])
+    cuckoo = CuckooFilter.from_bytes(blob[16 + int(nb) : 16 + int(nb) + int(nc)])
+    return bloom, cuckoo
+
+
+def _cached_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
+    mtime = os.path.getmtime(path) if os.path.exists(path) else -1.0
+    key = (path, mtime)
+    hit = _SHARD_CACHE.pop(key, None)
+    if hit is None:
+        hit = _read_shard(path, capacity)
+    _SHARD_CACHE[key] = hit  # re-insert = move to MRU end (dicts are ordered)
+    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    return hit
+
+
+class SeenShards:
+    def __init__(self, workdir: str, capacity: int = 1 << 20):
+        self.shard_dir = os.path.join(workdir, "seen_shards")
+        os.makedirs(self.shard_dir, exist_ok=True)
+        self.capacity = capacity
+        self.manifest_path = os.path.join(self.shard_dir, "MANIFEST.json")
+
+    # ------------------------------------------------------------------ state
+
+    def synced_gen(self) -> int:
+        if not os.path.exists(self.manifest_path):
+            return -1
+        with open(self.manifest_path) as f:
+            return json.load(f)["seen_gen"]
+
+    def commit(self, seen_gen: int) -> None:
+        tmp = f"{self.manifest_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seen_gen": seen_gen, "capacity": self.capacity}, f)
+        os.replace(tmp, self.manifest_path)
+
+    def stale(self, seen_gen: int) -> bool:
+        return self.synced_gen() != seen_gen
+
+    # ---------------------------------------------------------------- updates
+
+    def add(self, fps: DataFrame) -> int:
+        """Distributed shard update: df(partition_id, fingerprint) → each
+        shard file extended and atomically replaced by its partition's task.
+        Returns rows added."""
+        shard_dir, capacity = self.shard_dir, self.capacity
+
+        def update(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["partition_id"].iloc[0])
+            path = _shard_path(shard_dir, pid)
+            bloom, cuckoo = _read_shard(path, capacity)
+            vals = pdf["fingerprint"].to_numpy(dtype=np.int64)
+            # cuckoo holds each fingerprint once: skip ones already present
+            # (a false positive here only weakens the pre-filter for that fp,
+            # never correctness — the exact join still runs for "maybe" rows)
+            fresh = vals[~cuckoo.contains_many(vals)]
+            cuckoo.add_many(fresh)
+            bloom.add_many(vals)
+            _write_shard(path, bloom, cuckoo)
+            return pd.DataFrame({"partition_id": [pid], "n": [len(vals)]})
+
+        out = (
+            fps.select("partition_id", "fingerprint")
+            .groupBy("partition_id")
+            .applyInPandas(update, "partition_id int, n long")
+        )
+        return sum(r["n"] for r in out.collect())
+
+    def rebuild(self, table: DataFrame) -> int:
+        """Full distributed rebuild from the frontier table (stale recovery)."""
+        for f in os.listdir(self.shard_dir):
+            if f.startswith("shard-"):
+                os.unlink(os.path.join(self.shard_dir, f))
+        return self.add(table.select("partition_id", "fingerprint"))
+
+    def delete(self, fps: DataFrame) -> int:
+        """Remove fingerprints from the cuckoo shards (physical evictions —
+        TTL purges). Blooms can't delete; they stay supersets until the next
+        rebuild, which only costs extra exact-join work, never correctness."""
+        shard_dir, capacity = self.shard_dir, self.capacity
+
+        def drop(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf["partition_id"].iloc[0])
+            path = _shard_path(shard_dir, pid)
+            bloom, cuckoo = _read_shard(path, capacity)
+            n = cuckoo.delete_many(pdf["fingerprint"].to_numpy(dtype=np.int64))
+            _write_shard(path, bloom, cuckoo)
+            return pd.DataFrame({"partition_id": [pid], "n": [n]})
+
+        out = (
+            fps.select("partition_id", "fingerprint")
+            .groupBy("partition_id")
+            .applyInPandas(drop, "partition_id int, n long")
+        )
+        return sum(r["n"] for r in out.collect())
+
+    # --------------------------------------------------------------- classify
+
+    def maybe_seen(self, probe: DataFrame) -> DataFrame:
+        """df(partition_id, fingerprint) → the (fingerprint) subset that is
+        MAYBE in the seen set.
+
+        Narrow on purpose (12 bytes/row through Arrow — shipping full
+        candidate rows costs ~10× the probe itself) and repartitioned by
+        partition_id first, so each task loads exactly ONE shard instead of
+        every worker paging in all P of them. Bloom-only probe: at 16
+        bits/key its FP ≈ 0.06%, so the cuckoo intersection would shave a
+        negligible remainder for double the probe cost — the cuckoo shard
+        earns its keep on the delete path instead."""
+        shard_dir, capacity = self.shard_dir, self.capacity
+
+        def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keep = np.zeros(len(pdf), dtype=bool)
+                for pid, grp in pdf.groupby("partition_id"):
+                    bloom, _cuckoo = _cached_shard(_shard_path(shard_dir, int(pid)), capacity)
+                    vals = grp["fingerprint"].to_numpy(dtype=np.int64)
+                    keep[grp.index] = bloom.contains_many(vals)
+                yield pdf.loc[keep, ["fingerprint"]]
+
+        return (
+            probe.select("partition_id", "fingerprint")
+            .repartition("partition_id")
+            .mapInPandas(probe_fn, "fingerprint long")
+        )
+
+    def classify(self, candidates: DataFrame) -> DataFrame:
+        """Append ``_maybe_seen boolean``: False ⇒ definitely NOT in the seen
+        set (skip the exact anti-join); True ⇒ check exactly."""
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        shard_dir, capacity = self.shard_dir, self.capacity
+        # fresh StructType: .add() would mutate the DataFrame's cached schema
+        # object in place and desync it from the analyzed plan
+        schema = StructType(
+            list(candidates.schema.fields) + [StructField("_maybe_seen", BooleanType())]
+        )
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                maybe = np.zeros(len(pdf), dtype=bool)
+                for pid, grp in pdf.groupby("partition_id"):
+                    bloom, cuckoo = _cached_shard(_shard_path(shard_dir, int(pid)), capacity)
+                    vals = grp["fingerprint"].to_numpy(dtype=np.int64)
+                    maybe[grp.index] = bloom.contains_many(vals) & cuckoo.contains_many(vals)
+                out = pdf.copy()
+                out["_maybe_seen"] = maybe
+                yield out
+
+        return candidates.mapInPandas(probe, schema)
