@@ -73,6 +73,7 @@ class FrontierEngine:
         jid: int = 0,
         use_seen_shards: bool = False,
         shard_capacity: int = 1 << 20,
+        host_salts: int = 16,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -82,6 +83,7 @@ class FrontierEngine:
         self.max_url_length = max_url_length
         self.robots_deny_hosts = frozenset(robots_deny_hosts or ())
         self.jid = jid
+        self.host_salts = host_salts
         path = os.path.join(workdir, "frontier")
         if os.path.exists(os.path.join(path, "CURRENT")):
             self.table = SnapshotTable.load(spark, path)
@@ -319,6 +321,19 @@ class FrontierEngine:
         )
         order = self.strategy.ordering(iteration)
         if max_per_host is not None:
+            # hot-host skew (SURVEY.md Q7): a single per-host window would
+            # funnel a hot host's whole queue through one task. Two-phase
+            # salted top-k instead: rank within (host, salt) first — the
+            # global per-host top-k is a subset of the union of per-salt
+            # top-k's — so the final per-host window sees at most
+            # host_salts × max_per_host rows per host, whatever the skew.
+            salt = F.pmod(F.col("fingerprint"), F.lit(self.host_salts))
+            w1 = Window.partitionBy("host", salt).orderBy(*order)
+            cand = (
+                cand.withColumn("_rs", F.row_number().over(w1))
+                .filter(F.col("_rs") <= max_per_host)
+                .drop("_rs")
+            )
             wh = Window.partitionBy("host").orderBy(*order)
             cand = (
                 cand.withColumn("_rh", F.row_number().over(wh))

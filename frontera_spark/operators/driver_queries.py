@@ -553,6 +553,164 @@ WHERE rk <= 3
 """
 
 
+def q_simhash_signature(spark, sf_dir):
+    """16-bit SimHash over distinct tokens: bit i = majority vote of the top
+    bit of hex nibble i of md5(token). Order-independent (sum-based), so
+    Spark/DuckDB list orderings don't matter."""
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    highs = list("89abcdef")
+
+    def bit_vote(i):
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.md5(F.encode(t, "utf-8")).substr(i + 1, F.lit(1)).isin(highs), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.when(bit_vote(i) > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return _t(spark, sf_dir, "documents").select(F.col("doc_id"), sig.alias("simhash"))
+
+
+SQL_SIMHASH_SIGNATURE = """
+WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t FROM documents)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(16), i ->
+    CASE WHEN list_sum(list_transform(t, tok ->
+        CASE WHEN substr(md5(tok), i + 1, 1) IN ('8','9','a','b','c','d','e','f')
+             THEN 1 ELSE -1 END)) > 0
+         THEN CAST(2 ** i AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+FROM toks
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup detection: pairwise Jaccard over distinct
+    token-3-shingle sets for the first 40 docs. Intersection via
+    filter+contains (identical semantics in both engines)."""
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 40) & (n >= 3))
+        .select(F.col("doc_id"), shingles.alias("sh"))
+    )
+    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", jac.alias("jaccard"))
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 2),
+                  i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+  FROM d WHERE len(t) >= 3
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  FLOOR(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+        * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+def q_embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: (a, b) with cos >= 0.3 among the
+    first 100 vectors (brute-force pair join — the LSH-bucketed variant
+    would pre-group by hyperplane signs at scale)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("a"), ve.alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), ve.alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("va"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("vb"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("a", "b", "cos_sim")
+    )
+
+
+SQL_EMBED_NEARDUP_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
+SELECT a, b, cos_sim FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    FLOOR(list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+          * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+WHERE cos_sim >= 0.3
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup family: hash-groupBy on md5(text) with group sizes and the
+    canonical (min) doc_id kept per group."""
+    sig = F.md5(F.encode(F.col("text"), "utf-8"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(sig.alias("signature"), F.col("doc_id"))
+        .groupBy("signature")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS signature, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -576,4 +734,8 @@ QUERIES = {
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
 }
