@@ -316,8 +316,14 @@ class FrontierEngine:
         consumers are independent).
         """
         iteration = self.iteration + 1
+        # revisiting (frontera/contrib/backends/sqlalchemy/revisiting.py):
+        # re-queued rows carry crawl_at; they re-enter the feed only once the
+        # deterministic crawl clock (1 iteration = 1 tick) reaches it
+        now = F.timestamp_seconds(F.lit(iteration))
         cand = self.table.read().filter(
-            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+            (F.col("state") == STATE_QUEUED)
+            & F.col("batch_id").isNull()
+            & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
         )
         order = self.strategy.ordering(iteration)
         if max_per_host is not None:
@@ -355,6 +361,13 @@ class FrontierEngine:
         marked = marked.cache()
         pid_counts = marked.groupBy("partition_id").count().collect()
         if not pid_counts:
+            # empty pop still advances the crawl clock: revisit timers
+            # (crawl_at ticks) must keep counting toward their due time
+            m = self.table.manifest()
+            m["meta"]["iteration"] = iteration
+            m["snapshot_id"] += 1
+            m["parent_id"] = m["snapshot_id"] - 1
+            self.table._write_manifest(m)
             marked.unpersist()
             return marked.limit(0)
         pids = [r["partition_id"] for r in pid_counts]
@@ -378,18 +391,56 @@ class FrontierEngine:
 
     # ------------------------------------------------------------- results in
 
+    def _fence(self, results: DataFrame) -> DataFrame:
+        """Job-epoch fencing (frontera's new_job_id / meta[b'jid'] check,
+        worker/strategy.py): results minted under an older jid — in-flight
+        work from a previous job epoch — are dropped, not applied."""
+        if "jid" in results.columns:
+            return results.filter(F.col("jid") == self.jid)
+        return results
+
     def page_crawled(self, results: DataFrame) -> None:
-        """df(fingerprint, partition_id): mark CRAWLED (States.set_states)."""
-        src = results.select("fingerprint", "partition_id").withColumn(
+        """df(fingerprint, partition_id [, jid]): mark CRAWLED
+        (States.set_states)."""
+        src = self._fence(results).select("fingerprint", "partition_id").withColumn(
             "state", F.lit(STATE_CRAWLED)
         )
         self._mark(src)
 
     def request_error(self, results: DataFrame) -> None:
-        src = results.select("fingerprint", "partition_id").withColumn(
+        src = self._fence(results).select("fingerprint", "partition_id").withColumn(
             "state", F.lit(STATE_ERROR)
         )
         self._mark(src)
+
+    def revisit(self, condition, after_iterations: int = 1) -> int:
+        """Re-queue CRAWLED rows matching ``condition`` for recrawl at
+        ``crawl_at = now + after_iterations`` ticks (X6, the revisiting
+        backend's REVISIT_INTERVAL timer on the deterministic clock). The
+        rows stay in the seen set — dedup of re-discovered links is
+        unaffected — but become poppable again once due."""
+        due = F.timestamp_seconds(F.lit(self.iteration + after_iterations))
+        src = (
+            self.table.read()
+            .filter((F.col("state") == STATE_CRAWLED) & condition)
+            .withColumn("state", F.lit(STATE_QUEUED))
+            .withColumn("batch_id", F.lit(None).cast("long"))
+            .withColumn("crawl_at", due)
+            .select(*FRONTIER_COLS)
+        ).cache()
+        pid_counts = src.groupBy("partition_id").count().collect()
+        if not pid_counts:
+            src.unpersist()
+            return 0
+        self.table.upsert(
+            src,
+            set_cols=["state", "batch_id", "crawl_at"],
+            insert=False,
+            affected_pids=[r["partition_id"] for r in pid_counts],
+        )
+        n = int(sum(r["count"] for r in pid_counts))
+        src.unpersist()
+        return n
 
     def _mark(self, src: DataFrame) -> None:
         full = src.join(

@@ -130,8 +130,11 @@ class PoliteScheduler:
         token_cap = self.token_cap
         mph = max_per_host
 
+        now = F.timestamp_seconds(F.lit(iteration))
         cand = engine.table.read().filter(
-            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+            (F.col("state") == STATE_QUEUED)
+            & F.col("batch_id").isNull()
+            & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
         )
         cand = self._ordering_cols(cand, iteration)
         pol = domains.read().select(

@@ -1,0 +1,70 @@
+"""Revisiting timer (X6) and job-epoch fencing (X7) — SURVEY.md §2.9."""
+
+from pyspark.sql import functions as F
+
+from frontera_spark import STATE_CRAWLED, STATE_QUEUED
+from frontera_spark.core.frontier import FrontierEngine
+
+
+def _urls(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"https://h{i % 3:03d}.example.test/p/{i}", i) for i in range(lo, hi)],
+        "url string, seq int",
+    )
+
+
+def test_revisit_requeues_after_due_tick(spark, tmp_path):
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+    eng.add_seeds(_urls(spark, 0, 10))
+
+    batch = eng.get_next_requests(10, mode="global")
+    eng.page_crawled(batch)
+    batch.unpersist()
+    assert eng.count(STATE_CRAWLED) == 10
+
+    # re-queue 4 rows for recrawl 2 ticks out
+    n = eng.revisit(F.col("seq") < 4, after_iterations=2)
+    assert n == 4
+    assert eng.count(STATE_QUEUED) == 4
+
+    # tick 2 (iteration -> 2): crawl_at = 3, not yet due
+    early = eng.get_next_requests(10, mode="global")
+    assert early.count() == 0
+    early.unpersist()
+    # tick 3: due now
+    due = eng.get_next_requests(10, mode="global")
+    assert due.count() == 4
+    # revisited rows keep their original fingerprints/seqs (still seen)
+    assert {r.seq for r in due.collect()} == {0, 1, 2, 3}
+    due.unpersist()
+
+
+def test_revisited_rows_still_dedup(spark, tmp_path):
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2)
+    eng.add_seeds(_urls(spark, 0, 10))
+    batch = eng.get_next_requests(10, mode="global")
+    eng.page_crawled(batch)
+    batch.unpersist()
+    eng.revisit(F.lit(True), after_iterations=5)
+    # offering the same URLs again must still dedup to zero
+    assert eng.add_seeds(_urls(spark, 0, 10)) == 0
+
+
+def test_stale_jid_results_are_fenced(spark, tmp_path):
+    wd = str(tmp_path / "eng")
+    eng0 = FrontierEngine(spark, wd, n_partitions=2, jid=0)
+    eng0.add_seeds(_urls(spark, 0, 6))
+    feed = eng0.get_next_requests(6, mode="global")
+    feed.cache().count()
+
+    # job epoch rolls over (new_job_id): a new engine with jid=1 must ignore
+    # results minted under jid=0
+    eng1 = FrontierEngine(spark, wd, n_partitions=2, jid=1)
+    eng1.page_crawled(feed)
+    assert eng1.count(STATE_CRAWLED) == 0  # all fenced out
+
+    # the same results applied by the matching epoch do land
+    eng0b = FrontierEngine(spark, wd, n_partitions=2, jid=0)
+    eng0b.page_crawled(feed)
+    assert eng0b.count(STATE_CRAWLED) == 6
+    feed.unpersist()
