@@ -107,6 +107,39 @@ def bench_frontier(spark, workdir: str) -> dict[str, float]:
     return out
 
 
+def bench_crawl(spark, workdir: str) -> dict[str, float]:
+    """End-to-end crawl-loop throughput over the image+caption corpus:
+    pages/sec through feed-pop → fetch join → PNG decode + PSNR/caption
+    invariant → link extraction → MERGE (the BASELINE headline job)."""
+    from frontera_spark.sources.corpus import url_of, write_corpus
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000"))
+    corpus_path = os.path.join(workdir, "corpus")
+    write_corpus(spark, corpus_path, n_images, 31, 42)
+    loop = CrawlLoop(
+        spark,
+        os.path.join(workdir, "crawl"),
+        corpus_path,
+        strategy="bfs",
+        batch_size=2048,
+        n_partitions=CPUS,
+        mode="per_partition",
+    )
+    loop.add_seeds([url_of(0, 31)])
+    t0 = time.perf_counter()
+    hist = loop.run(max_iterations=64)
+    dt = time.perf_counter() - t0
+    fetched = sum(m["n_fetched"] for m in hist)
+    return {
+        "pages": fetched,
+        "iterations": len(hist),
+        "crawl_sec": round(dt, 3),
+        "pages_per_sec": round(fetched / dt, 1),
+        "invariant_violations": sum(m.get("invariant_violations", 0) for m in hist),
+    }
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from frontera_spark.session import get_spark
@@ -118,17 +151,20 @@ def main() -> None:
     queries = bench_queries(spark)
     with tempfile.TemporaryDirectory() as workdir:
         frontier = bench_frontier(spark, workdir)
+    with tempfile.TemporaryDirectory() as workdir:
+        crawl = bench_crawl(spark, workdir)
     total = round(time.perf_counter() - t_all, 3)
 
     print(
         json.dumps(
             {
-                "metric": "headline queries + frontier schedule/dedup throughput",
+                "metric": "headline queries + frontier schedule/dedup + crawl-loop throughput",
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
                 "sf": _sf(),
                 "frontier": frontier,
+                "crawl": crawl,
             }
         )
     )

@@ -58,7 +58,15 @@ def inner(cores: int) -> None:
     from frontera_spark.session import get_spark
     from frontera_spark.sources.corpus import generate_corpus
 
-    spark = get_spark(f"scaling_bench_{cores}", master=f"local[{cores}]")
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # identical plans at both levels: shuffle partitioning fixed at the table
+    # layout width, only execution parallelism varies (what a real cluster
+    # does when executors scale)
+    spark = get_spark(
+        f"scaling_bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=TABLE_PARTITIONS,
+    )
     spark.range(10).count()  # JVM warm-up
     n_hosts = 101
     urls = (
@@ -76,17 +84,21 @@ def inner(cores: int) -> None:
     )
     urls.count()
 
-    with tempfile.TemporaryDirectory() as d:
-        eng = FrontierEngine(spark, d, n_partitions=TABLE_PARTITIONS, strategy="bfs")
-        t0 = time.perf_counter()
-        n_new = eng.add_seeds(urls)
-        sched_s = time.perf_counter() - t0
-        assert n_new == N_URLS
+    # best-of-N reps per stage: this VM shows 9-14% CPU steal, so single
+    # shots carry host-contention noise; the minimum is the engine's number
+    sched_ts, dedup_ts, fetch_ts = [], [], []
+    for _ in range(reps):
+        with tempfile.TemporaryDirectory() as d:
+            eng = FrontierEngine(spark, d, n_partitions=TABLE_PARTITIONS, strategy="bfs")
+            t0 = time.perf_counter()
+            n_new = eng.add_seeds(urls)
+            sched_ts.append(time.perf_counter() - t0)
+            assert n_new == N_URLS
 
-        t0 = time.perf_counter()
-        n_dup = eng.add_seeds(urls)
-        dedup_s = time.perf_counter() - t0
-        assert n_dup == 0
+            t0 = time.perf_counter()
+            n_dup = eng.add_seeds(urls)
+            dedup_ts.append(time.perf_counter() - t0)
+            assert n_dup == 0
     urls.unpersist()
 
     # fetch path: corpus synthesis + PNG decode + PSNR invariant
@@ -107,11 +119,13 @@ def inner(cores: int) -> None:
                 ok.append(bool(np.isinf(p) or p >= 40.0))
             yield pd.DataFrame({"ok": ok})
 
-    t0 = time.perf_counter()
-    n_ok = corpus.mapInPandas(decode, "ok boolean").filter(F.col("ok")).count()
-    fetch_s = time.perf_counter() - t0
-    assert n_ok == N_IMAGES
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_ok = corpus.mapInPandas(decode, "ok boolean").filter(F.col("ok")).count()
+        fetch_ts.append(time.perf_counter() - t0)
+        assert n_ok == N_IMAGES
 
+    sched_s, dedup_s, fetch_s = min(sched_ts), min(dedup_ts), min(fetch_ts)
     print(
         "INNER_RESULT "
         + json.dumps(
@@ -122,6 +136,9 @@ def inner(cores: int) -> None:
                 "schedule_s": round(sched_s, 2),
                 "dedup_s": round(dedup_s, 2),
                 "fetch_s": round(fetch_s, 2),
+                "schedule_reps_s": [round(t, 2) for t in sched_ts],
+                "dedup_reps_s": [round(t, 2) for t in dedup_ts],
+                "fetch_reps_s": [round(t, 2) for t in fetch_ts],
                 "schedule_urls_per_sec": round(N_URLS / sched_s, 0),
                 "dedup_urls_per_sec": round(N_URLS / dedup_s, 0),
                 "fetch_imgs_per_sec": round(N_IMAGES / fetch_s, 0),
@@ -131,22 +148,30 @@ def inner(cores: int) -> None:
     spark.stop()
 
 
-def outer() -> None:
+def _parse_inner(text: str, cores: int) -> dict:
+    line = next((ln for ln in text.splitlines() if ln.startswith("INNER_RESULT ")), None)
+    if line is None:
+        raise RuntimeError(f"inner run at {cores} cores produced no result")
+    return json.loads(line[len("INNER_RESULT ") :])
+
+
+def outer(leg_files: list[str] | None = None) -> None:
     results = {}
-    for cores in CORES:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner", str(cores)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("INNER_RESULT ")), None
-        )
-        if line is None:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-            raise RuntimeError(f"inner run at {cores} cores produced no result")
-        results[cores] = json.loads(line[len("INNER_RESULT ") :])
+    if leg_files:  # --combine: legs were run separately (long runs)
+        for f in leg_files:
+            r = _parse_inner(open(f).read(), -1)
+            results[r["cores"]] = r
+    else:
+        for cores in CORES:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner", str(cores)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            if not any(ln.startswith("INNER_RESULT ") for ln in proc.stdout.splitlines()):
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            results[cores] = _parse_inner(proc.stdout, cores)
 
     lo, hi = CORES
     factor = hi / lo
@@ -213,5 +238,7 @@ own memory bandwidth. Reproduce the saturated pair with
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--inner":
         inner(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--combine":
+        outer(leg_files=sys.argv[2:])
     else:
         outer()
