@@ -287,11 +287,27 @@ class CrawlLoop:
         feed.unpersist()
         return agg
 
-    def run(self, max_iterations: int = 10_000, verbose: bool = False) -> list[dict]:
-        """Crawl to exhaustion (or the iteration cap). Safe after a crash."""
+    def run(
+        self,
+        max_iterations: int = 10_000,
+        verbose: bool = False,
+        vacuum_every: int = 25,
+        vacuum_keep: int = 10,
+    ) -> list[dict]:
+        """Crawl to exhaustion (or the iteration cap). Safe after a crash.
+
+        Every ``vacuum_every`` iterations, snapshot dirs unreachable from the
+        last ``vacuum_keep`` snapshots are dropped — a long crawl commits
+        several snapshots per iteration and would otherwise accumulate one
+        copy-on-write generation per MERGE forever. Resume depth = the
+        retained window (any kept snapshot is a valid rollback point)."""
         self._recover()
         history = []
-        for _ in range(max_iterations):
+        for i in range(max_iterations):
+            if vacuum_every and i and i % vacuum_every == 0:
+                self.engine.table.vacuum(keep_last=vacuum_keep)
+                if self.scheduler is not None:
+                    self.scheduler.domains.table.vacuum(keep_last=vacuum_keep)
             m = self.run_iteration()
             if verbose:
                 print(m)

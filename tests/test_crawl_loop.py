@@ -139,6 +139,20 @@ def test_resume_equals_uninterrupted(spark, tmp_path, corpus_path):
     assert got == ref_states
 
 
+def test_vacuum_during_run_keeps_correctness(spark, tmp_path, corpus_path):
+    """Aggressive vacuuming mid-crawl must not change results, and must bound
+    the number of retained snapshot data dirs."""
+    loop = make_loop(spark, str(tmp_path / "eng"), corpus_path, batch_size=8)
+    loop.add_seeds([url_of(0, N_HOSTS)])
+    hist = loop.run(vacuum_every=2, vacuum_keep=4)
+    assert sum(m["n_fetched"] for m in hist) == N_IMAGES
+    data_dir = os.path.join(str(tmp_path / "eng"), "frontier", "data")
+    n_dirs = len([d for d in os.listdir(data_dir) if d.startswith("snap-")])
+    total_snapshots = loop.engine.table.snapshot_id
+    assert total_snapshots > 20  # the crawl really did commit many times
+    assert n_dirs < 15  # ...but only the retained window's dirs remain
+
+
 def test_recover_requeues_marked_but_uncrawled(spark, tmp_path, corpus_path):
     loop = make_loop(spark, str(tmp_path / "eng"), corpus_path)
     loop.add_seeds([url_of(0, N_HOSTS)])
