@@ -119,6 +119,43 @@ def test_robots_denied_at_pop(spark, tmp_path, corpus_path):
     )
 
 
+def test_throttled_host_parity_dfs(spark, tmp_path, corpus_path):
+    """Same parity under the DFS ordering (throttle interacts with the
+    depth-desc heap differently than BFS)."""
+    policies = [("h000.example.test", True, 1.0, None)]
+    loop, hist, exp_order, exp_states, got_states = run_both(
+        spark, tmp_path, corpus_path, policies, strategy="dfs", batch=8
+    )
+    assert sum(m["n_fetched"] for m in hist) == len(exp_order)
+    assert got_states == exp_states
+
+
+def test_budget_respected_in_per_partition_mode(spark, tmp_path, corpus_path):
+    """Cluster-scale mode: each partition schedules independently, but a
+    host's budget still binds exactly (a host lives in one partition). WHICH
+    rows are chosen may differ from the single-consumer oracle; the cap and
+    the totals may not."""
+    host = "h000.example.test"
+    policies = [(host, True, None, 3)]
+    loop = make_loop(
+        spark,
+        str(tmp_path / "eng"),
+        corpus_path,
+        policies,
+        n_partitions=4,
+        mode="per_partition",
+    )
+    loop.add_seeds([url_of(0, N_HOSTS)])
+    loop.run(max_iterations=100)
+    tbl = loop.engine.table.read()
+    assert (
+        tbl.filter((F.col("host") == host) & (F.col("state") == STATE_CRAWLED)).count() == 3
+    )
+    # every other host fully crawled
+    others = tbl.filter(F.col("host") != host)
+    assert others.filter(F.col("state") != STATE_CRAWLED).count() == 0
+
+
 def test_politeness_resume(spark, tmp_path, corpus_path):
     """Politeness state (tokens, fetched) survives restart: interrupted+resumed
     run ends with the same states as an uninterrupted one."""
