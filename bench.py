@@ -62,9 +62,9 @@ def bench_frontier(spark, workdir: str) -> dict[str, float]:
 
     from frontera_spark.core.frontier import FrontierEngine
 
-    # 1M default: small enough for the per-round bench window, large enough
-    # that per-action fixed overhead (~30 s/cycle) doesn't dominate the rate
-    n = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000"))
+    # 2M default: small enough for the per-round bench window, large enough
+    # that per-batch fixed cost (~15 s/cycle) doesn't dominate the rate
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000000"))
     n_hosts = 101
     engine = FrontierEngine(
         spark, os.path.join(workdir, "bench_frontier"), n_partitions=CPUS, strategy="bfs"

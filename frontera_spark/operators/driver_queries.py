@@ -711,6 +711,93 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_lsh_bucket_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucketing (hyperplanes = the
+    first 6 embeddings, deterministic), then cosine top-10 only WITHIN the
+    query's bucket — the brute-force scan (q_embed_topk) shrinks to ~1/2^6
+    of the corpus per probe. Recall trades off against probes; the plumbing
+    (signature build, bucket equi-join, in-bucket rank) is what scales."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id"), ve.alias("v"))
+    planes = vecs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("p")
+    )
+    dot_vp = F.aggregate(
+        F.zip_with(F.col("v"), F.col("p"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sigs = (
+        vecs.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "v",
+            F.when(dot_vp > 0, F.pow(F.lit(2.0), F.col("pid")).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"), F.first("v").alias("v"))
+    )
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("v").alias("q")
+    )
+    cand = sigs.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    dot_vq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.floor(dot_vq / (nv * nq) * 10000.0 + 0.5) / 10000.0
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .select("vec_id", "bucket", "cos_sim")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+SQL_LSH_BUCKET_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT vec_id AS pid, v AS p FROM e WHERE vec_id < 6),
+sigs AS (
+  SELECT e.vec_id, any_value(e.v) AS v,
+    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.p) > 0
+             THEN CAST(2 ** planes.pid AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT bucket AS qbucket, v AS qv FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id, s.bucket,
+    FLOOR(list_dot_product(s.v, q.qv)
+          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+          * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM sigs s JOIN q ON s.bucket = q.qbucket WHERE s.vec_id <> 0)
+SELECT vec_id, bucket, cos_sim, rk FROM (
+  SELECT vec_id, bucket, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM cand)
+WHERE rk <= 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -738,4 +825,5 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
 }
