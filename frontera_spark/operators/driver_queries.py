@@ -167,7 +167,8 @@ def q_host_stats(spark, sf_dir):
 
 
 SQL_HOST_STATS = f"""
-SELECT {_HOST_SQL} AS host, COUNT(*) AS pages, SUM(n_chars) AS total_chars,
+SELECT {_HOST_SQL} AS host, COUNT(*) AS pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        FLOOR(AVG(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
 FROM documents GROUP BY 1
 """
@@ -204,7 +205,7 @@ def q_score_buckets(spark, sf_dir):
 
 
 SQL_SCORE_BUCKETS = """
-SELECT FLOOR(((n_chars % 101) / 100.0) * 100) AS bucket, COUNT(*) AS n
+SELECT CAST(FLOOR(((n_chars % 101) / 100.0) * 100) AS BIGINT) AS bucket, COUNT(*) AS n
 FROM documents GROUP BY 1
 """
 
@@ -247,7 +248,8 @@ def q_feed_corpus_join(spark, sf_dir):
 
 
 SQL_FEED_CORPUS_JOIN = f"""
-SELECT {_HOST_SQL} AS host, COUNT(*) AS fetches, SUM(n_chars) AS bytes_fetched
+SELECT {_HOST_SQL} AS host, COUNT(*) AS fetches,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes_fetched
 FROM events JOIN documents ON events.user_id = documents.doc_id
 GROUP BY 1
 """

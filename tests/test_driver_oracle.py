@@ -24,6 +24,38 @@ def duck():
     return con
 
 
+# Spark simpleString type → acceptable DuckDB-Arrow type strings. Strict on
+# purpose: the driver's value hash is type-sensitive (round 1: DuckDB
+# SUM(int)→HUGEINT/decimal128 and FLOOR()→double hashed differently from
+# Spark bigint even with equal values), so the local gate must reject any
+# type drift, not normalize it away.
+_ARROW_OK = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "smallint": {"int16"},
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "binary": {"binary", "large_binary"},
+    "date": {"date32[day]"},
+    "timestamp": {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"},
+}
+
+
+def _check_types(name, sdf, arrow_schema):
+    duck_types = {f.name: str(f.type) for f in arrow_schema}
+    for f in sdf.schema.fields:
+        expect = _ARROW_OK.get(f.dataType.simpleString())
+        if expect is None:  # arrays/maps/structs: value compare still applies
+            continue
+        got = duck_types.get(f.name)
+        assert got in expect, (
+            f"{name}.{f.name}: spark type {f.dataType.simpleString()} vs "
+            f"duckdb-arrow type {got} — driver value-hash will mismatch"
+        )
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -63,8 +95,10 @@ def test_query_matches_oracle(spark, duck, name):
         return
     res = duck.sql(sql)
     dcols = res.columns
-    drows = res.fetchall()
+    arrow_tbl = res.arrow()
+    drows = [tuple(row[c] for c in dcols) for row in arrow_tbl.to_pylist()]
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    _check_types(name, sdf, arrow_tbl.schema)
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     a, b = _rows(scols, srows), _rows(dcols, drows)
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
