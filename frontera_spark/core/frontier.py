@@ -355,7 +355,16 @@ class FrontierEngine:
             .filter(F.col("_rn") <= max_n)
             .drop("_rn")
         )
-        marked = batch.select(*FRONTIER_COLS).withColumn("batch_id", F.lit(iteration))
+        # the feed is stamped with the CURRENT engine jid, not the row's
+        # enqueue-time jid: fencing (X7) must drop results from requests
+        # *dispatched* under an older epoch — frontera fences on the jid the
+        # request was generated under (worker/strategy.py), and stamping at
+        # enqueue time would permanently fence every pre-rollover frontier row
+        marked = (
+            batch.select(*FRONTIER_COLS)
+            .withColumn("batch_id", F.lit(iteration))
+            .withColumn("jid", F.lit(self.jid).cast("int"))
+        )
         # cache the batch: it is both the mark-merge source and the feed;
         # one grouped collect yields emptiness check + touched partitions
         marked = marked.cache()

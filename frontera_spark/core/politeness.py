@@ -308,6 +308,8 @@ class PoliteScheduler:
             .select("fingerprint", "partition_id")
             .join(engine.table.read(), ["fingerprint", "partition_id"], "inner")
             .select(*FRONTIER_COLS)
+            # dispatch-time epoch stamp (see FrontierEngine.get_next_requests)
+            .withColumn("jid", F.lit(engine.jid).cast("int"))
         ).cache()
         feed.count()  # materialize before dropping the decisions cache
         decisions.unpersist()

@@ -4,10 +4,11 @@ One (bloom, cuckoo) shard pair per frontier partition, stored as files under
 ``<workdir>/seen_shards/shard-<pid>.bin`` with a JSON manifest pinning the
 seen-set generation (insert-commit counter) they are synced to. Both filters are **negative
 pre-filters** in front of the exact anti-join (frontera's States store is
-exact — SURVEY.md §1.2): a row is "maybe seen" only if BOTH filters say so
-(each is a superset of the seen set, so the intersection still is, and the
-combined false-positive rate is the product of the two). "Definitely new"
-rows skip the anti-join entirely — at 10^10-URL scale that removes the
+exact — SURVEY.md §1.2): the "maybe seen" verdict comes from the bloom
+(strict superset of the seen set — no false negatives); the cuckoo is
+advisory membership plus the delete path (it CAN under-contain after full
+buckets or colliding deletes, so it never gates the verdict). "Definitely
+new" rows skip the anti-join entirely — at 10^10-URL scale that removes the
 shuffle for the (dominant) fresh fraction of every batch; "maybe" rows go
 through the exact join, so a false positive can never drop a URL
 (SURVEY.md §7.4.2). The cuckoo shard additionally supports deletes for
@@ -72,8 +73,14 @@ def _read_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
 
 
 def _cached_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
-    mtime = os.path.getmtime(path) if os.path.exists(path) else -1.0
-    key = (path, mtime)
+    # key on (mtime_ns, size), not mtime: two rewrites within one coarse
+    # mtime tick must not serve a stale bloom (a false negative here would
+    # bypass the anti-join and re-queue a committed fingerprint)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except FileNotFoundError:
+        key = (path, -1, -1)
     hit = _SHARD_CACHE.pop(key, None)
     if hit is None:
         hit = _read_shard(path, capacity)
@@ -89,6 +96,7 @@ class SeenShards:
         os.makedirs(self.shard_dir, exist_ok=True)
         self.capacity = capacity
         self.manifest_path = os.path.join(self.shard_dir, "MANIFEST.json")
+        self.last_cuckoo_failures = 0
 
     # ------------------------------------------------------------------ state
 
@@ -124,17 +132,23 @@ class SeenShards:
             # (a false positive here only weakens the pre-filter for that fp,
             # never correctness — the exact join still runs for "maybe" rows)
             fresh = vals[~cuckoo.contains_many(vals)]
-            cuckoo.add_many(fresh)
+            n_failed = cuckoo.add_many(fresh)
             bloom.add_many(vals)
             _write_shard(path, bloom, cuckoo)
-            return pd.DataFrame({"partition_id": [pid], "n": [len(vals)]})
+            # n_failed > 0 ⇒ the cuckoo shard is over capacity and is now
+            # missing fingerprints — membership in it is advisory-only (the
+            # bloom remains a strict superset; see classify())
+            return pd.DataFrame(
+                {"partition_id": [pid], "n": [len(vals)], "n_cuckoo_failed": [n_failed]}
+            )
 
         out = (
             fps.select("partition_id", "fingerprint")
             .groupBy("partition_id")
-            .applyInPandas(update, "partition_id int, n long")
-        )
-        return sum(r["n"] for r in out.collect())
+            .applyInPandas(update, "partition_id int, n long, n_cuckoo_failed long")
+        ).collect()
+        self.last_cuckoo_failures = int(sum(r["n_cuckoo_failed"] for r in out))
+        return sum(r["n"] for r in out)
 
     def rebuild(self, table: DataFrame) -> int:
         """Full distributed rebuild from the frontier table (stale recovery)."""
@@ -196,7 +210,15 @@ class SeenShards:
 
     def classify(self, candidates: DataFrame) -> DataFrame:
         """Append ``_maybe_seen boolean``: False ⇒ definitely NOT in the seen
-        set (skip the exact anti-join); True ⇒ check exactly."""
+        set (skip the exact anti-join); True ⇒ check exactly.
+
+        The verdict comes from the BLOOM alone: blooms have no false
+        negatives, so "not in bloom" is a safe definitely-new. The cuckoo can
+        have false negatives (add() skips fingerprints the cuckoo already
+        claims via a false positive, add_many() drops items when a bucket
+        chain is full, delete_many() can evict a colliding tag), so ANDing it
+        in would make the False verdict unsafe — cuckoo membership is
+        advisory (it earns its keep on the delete path)."""
         from pyspark.sql.types import BooleanType, StructField, StructType
 
         shard_dir, capacity = self.shard_dir, self.capacity
@@ -210,9 +232,9 @@ class SeenShards:
             for pdf in batches:
                 maybe = np.zeros(len(pdf), dtype=bool)
                 for pid, grp in pdf.groupby("partition_id"):
-                    bloom, cuckoo = _cached_shard(_shard_path(shard_dir, int(pid)), capacity)
+                    bloom, _cuckoo = _cached_shard(_shard_path(shard_dir, int(pid)), capacity)
                     vals = grp["fingerprint"].to_numpy(dtype=np.int64)
-                    maybe[grp.index] = bloom.contains_many(vals) & cuckoo.contains_many(vals)
+                    maybe[grp.index] = bloom.contains_many(vals)
                 out = pdf.copy()
                 out["_maybe_seen"] = maybe
                 yield out

@@ -123,6 +123,14 @@ class CuckooFilter:
     def _alt(self, i: np.ndarray, tag: np.ndarray) -> np.ndarray:
         return (i ^ _splitmix64(tag.astype(np.uint64))) & self.mask
 
+    def _alt1(self, i: int, tag: int) -> int:
+        # scalar path routed through a 1-element array: numpy scalar uint64
+        # arithmetic raises RuntimeWarning on (intended) wraparound, and
+        # silencing warnings globally would hide real overflow bugs
+        return int(
+            self._alt(np.array([i], dtype=np.uint64), np.array([tag], dtype=np.uint16))[0]
+        )
+
     def _bulk_place(self, buckets: np.ndarray, tags: np.ndarray) -> np.ndarray:
         """Vectorized no-eviction placement: for each (bucket, tag), claim the
         next free slot if occupancy + in-batch rank < SLOTS. Returns a bool
@@ -165,7 +173,7 @@ class CuckooFilter:
         return failed
 
     def _insert_one(self, i: int, tag: int) -> bool:
-        for idx in (i, int(self._alt(np.uint64(i), np.uint16(tag)))):
+        for idx in (i, self._alt1(i, tag)):
             row = self.table[idx]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
@@ -176,7 +184,7 @@ class CuckooFilter:
         for _ in range(self.MAX_KICKS):
             slot = int(self._rng.integers(self.SLOTS))
             cur_tag, self.table[cur_i, slot] = int(self.table[cur_i, slot]), cur_tag
-            cur_i = int(self._alt(np.uint64(cur_i), np.uint16(cur_tag)))
+            cur_i = self._alt1(cur_i, cur_tag)
             row = self.table[cur_i]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
@@ -200,7 +208,7 @@ class CuckooFilter:
         tags, i1s = self._tag(u), self._i1(u)
         deleted = 0
         for tag, i1 in zip(tags, i1s):
-            for idx in (int(i1), int(self._alt(i1, tag))):
+            for idx in (int(i1), self._alt1(int(i1), int(tag))):
                 row = self.table[idx]
                 hit = np.nonzero(row == tag)[0]
                 if len(hit):

@@ -152,6 +152,13 @@ class SnapshotTable:
             .partitionBy(PARTITION_COL)
             .parquet(out)
         )
+        # an empty result writes only _SUCCESS (no partition_id=* leaf dirs);
+        # reading that back would fail schema inference — and an empty merge
+        # legitimately happens (delete_where matching whole partitions,
+        # insert=False upsert against an empty target): the affected
+        # partitions are then cleanly dropped by _commit
+        if not any(e.startswith(f"{PARTITION_COL}=") for e in os.listdir(out)):
+            return {}, {}
         cnt_rows = (
             self.spark.read.option("basePath", out)
             .parquet(out)

@@ -43,7 +43,7 @@ from frontera_spark.core.frontier import FrontierEngine
 
 FETCH_RESULT_SCHEMA = (
     "fingerprint long, canonical_url string, host string, partition_id int, "
-    "seq long, depth int, image_id string, caption string, phash long, "
+    "seq long, depth int, jid int, image_id string, caption string, phash long, "
     "n_bytes int, psnr double, invariant_ok boolean, caption_ok boolean, "
     "out_links array<string>"
 )
@@ -55,15 +55,25 @@ METRICS_SCHEMA = (
 )
 
 
+FEED_COLS = ["fingerprint", "canonical_url", "host", "partition_id", "seq", "depth", "jid"]
+
+
 def fetch_stage(
     feed: DataFrame, corpus: DataFrame, corpus_seed: int, check_invariant: bool = True
 ) -> DataFrame:
-    """Downloader simulator (J3): feed ⋈ corpus + payload decode/validation.
+    """Downloader simulator (J3): corpus ⋈ broadcast(feed) + payload decode.
 
-    The feed (≤ batch-size rows) is broadcast against the corpus scan; only
-    this stage ever touches the ``bytes`` column (parquet column pruning keeps
-    it out of every other scan — SURVEY.md §7.4.4). Rows whose URL has no
-    corpus entry come back with image_id NULL (a 404 → request_error).
+    Returns one decoded row per feed row that HAS a corpus entry; feed rows
+    with no entry (404s) are detected by the caller with an anti-join against
+    this (cached, ≤ batch-size) result — see ``CrawlLoop.run_iteration``.
+
+    Plan shape: an INNER join may build either side, so ``broadcast(feed)``
+    is honored and the corpus side streams map-side with zero shuffle (the
+    earlier left-outer form could not build the preserved feed side — Spark
+    dropped the hint and sort-merge-shuffled the entire corpus, ``bytes``
+    column included, every iteration). Only this stage ever reads ``bytes``
+    (parquet column pruning keeps it out of every other scan — SURVEY.md
+    §7.4.4).
     """
     pages = corpus.select(
         F.col("url").alias("canonical_url"),
@@ -74,9 +84,7 @@ def fetch_stage(
         "phash",
         "out_links",
     )
-    joined = F.broadcast(
-        feed.select("fingerprint", "canonical_url", "host", "partition_id", "seq", "depth")
-    ).join(pages, "canonical_url", "left")
+    joined = pages.join(F.broadcast(feed.select(*FEED_COLS)), "canonical_url", "inner")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -93,6 +101,7 @@ def fetch_stage(
                     "partition_id",
                     "seq",
                     "depth",
+                    "jid",
                     "image_id",
                     "caption",
                     "phash",
@@ -101,12 +110,6 @@ def fetch_stage(
             ].copy()
             n_bytes, psnrs, inv_ok, cap_ok = [], [], [], []
             for raw, image_id, caption in zip(pdf["bytes"], pdf["image_id"], pdf["caption"]):
-                if raw is None or image_id is None:
-                    n_bytes.append(0)
-                    psnrs.append(None)
-                    inv_ok.append(False)
-                    cap_ok.append(False)
-                    continue
                 n_bytes.append(len(raw))
                 if not check_invariant:
                     psnrs.append(None)
@@ -237,14 +240,18 @@ class CrawlLoop:
             feed, self.corpus, self.corpus_seed, self.check_invariant
         ).cache()
 
-        ok = results.filter(F.col("image_id").isNotNull())
-        missing = results.filter(F.col("image_id").isNull())
-        self.engine.page_crawled(ok)
-        n_err = missing.count()
+        # 404 path: feed rows with no corpus entry. The anti-join probes the
+        # CACHED results (≤ batch-size rows) — no second corpus scan.
+        missing = feed.select(*FEED_COLS).join(
+            F.broadcast(results.select("canonical_url")), "canonical_url", "left_anti"
+        )
+        self.engine.page_crawled(results)
+        err_rows = missing.groupBy("partition_id").count().collect()
+        n_err = int(sum(r["count"] for r in err_rows))
         if n_err:
             self.engine.request_error(missing)
 
-        links = extract_links(ok)
+        links = extract_links(results)
         n_scheduled = self.engine.links_extracted(links)
 
         # per-partition lineage counters (BASELINE north_rule: checkpointed
@@ -252,9 +259,8 @@ class CrawlLoop:
         mrows = (
             results.groupBy("partition_id")
             .agg(
-                F.count(F.when(F.col("image_id").isNotNull(), 1)).alias("n_fetched"),
+                F.count("*").alias("n_fetched"),
                 F.sum(F.size(F.coalesce("out_links", F.array()))).alias("n_links"),
-                F.count(F.when(F.col("image_id").isNull(), 1)).alias("n_errors"),
                 F.sum("n_bytes").alias("bytes_fetched"),
                 F.min("psnr").alias("psnr_min"),
                 F.count(F.when(~F.col("invariant_ok") | ~F.col("caption_ok"), 1)).alias(
@@ -264,7 +270,20 @@ class CrawlLoop:
             .collect()
         )
         t_sec = time.perf_counter() - t0
-        mpdf = pd.DataFrame([r.asDict() for r in mrows])
+        err_by_pid = {r["partition_id"]: int(r["count"]) for r in err_rows}
+        base = [r.asDict() for r in mrows]
+        seen_pids = {r["partition_id"] for r in base}
+        for pid, n in err_by_pid.items():  # partitions whose rows ALL 404'd
+            if pid not in seen_pids:
+                base.append(
+                    {
+                        "partition_id": pid, "n_fetched": 0, "n_links": 0,
+                        "bytes_fetched": 0, "psnr_min": None,
+                        "invariant_violations": 0,
+                    }
+                )
+        mpdf = pd.DataFrame(base)
+        mpdf["n_errors"] = mpdf["partition_id"].map(err_by_pid).fillna(0).astype("int64")
         mpdf["iteration"] = iteration
         mpdf["n_scheduled"] = n_scheduled  # batch-level (seq is global)
         mpdf["t_sec"] = t_sec
