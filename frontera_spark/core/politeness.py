@@ -28,10 +28,9 @@ reference parity.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frontera_spark import STATE_QUEUED, STATE_SKIPPED_ROBOTS
@@ -46,7 +45,7 @@ DOMAIN_SCHEMA = (
 _SCHED_SCHEMA = (
     "fingerprint long, partition_id int, batch_id long, state int, "
     "_emit string, _has_policy boolean, host string, _tokens_after double, "
-    "_fetched_after long, _last_refill double"
+    "_fetched_after long, _last_refill double, _grp int, _cut1 long, _cut2 long"
 )
 
 
@@ -119,10 +118,28 @@ class PoliteScheduler:
         max_n: int,
         max_per_host: int | None = None,
         mode: str = "global",
-    ) -> DataFrame:
-        """The scheduling decision stage: strategy-ordered walk with token
-        buckets inside applyInPandas. Returns rows tagged ``_emit`` ∈
-        {feed, robots, domain} (pure — commits nothing)."""
+    ) -> tuple[DataFrame, DataFrame]:
+        """The scheduling decision stage (pure — commits nothing).
+
+        Returns ``(walk, denied)``:
+
+        - ``walk``: the token-bucket walk's output, rows tagged ``_emit`` ∈
+          {feed, domain, cutoff}. The walk's INPUT is bounded JVM-side first —
+          a salted per-host top-K in strategy order, K = the most rows a host
+          could possibly serve this pop (min of max_n, max_per_host, and
+          ⌈token_cap⌉ for policied hosts). This is exact, not approximate: a
+          host's served rows are always a PREFIX of its strategy-ordered
+          queue (allowance only decreases within a pop), so rows beyond K
+          could only ever be skipped — same outcome as pruning them. Turns
+          the pandas stage from O(frontier) to O(hosts × K) per pop.
+        - ``denied``: robots-denied candidate rows (with ordering cols +
+          ``_grp``). The reference walk marks a denied row SKIPPED_ROBOTS iff
+          it is encountered before the batch fills, i.e. iff its ordering key
+          precedes the max_n-th served row's key — the walk emits that key as
+          one ``cutoff`` row per group (NULL = walk exhausted its input:
+          every denied row is marked), and ``pop`` applies it as a JVM filter
+          instead of dragging every denied row through pandas.
+        """
         engine, domains = self.engine, self.domains
         # clock parity with the oracle: the FIRST pop runs at t=0 (buckets
         # start full at last_refill=0), the k-th at (k-1)*batch_period
@@ -143,109 +160,151 @@ class PoliteScheduler:
         joined = cand.join(pol, "host", "left").withColumn(
             "_grp", F.lit(0) if mode == "global" else F.col("partition_id")
         )
+        denied = joined.filter(~F.coalesce("robots_allow", F.lit(True))).select(
+            "fingerprint", "partition_id", "host", "_ord1", "_ord2", "_grp"
+        )
+        walkable = joined.filter(F.coalesce("robots_allow", F.lit(True)))
 
-        def schedule(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in groups:
-                pdf = pdf.sort_values(["_ord1", "_ord2"], kind="mergesort")
-                allowance: dict[str, float] = {}
-                refilled: dict[str, float] = {}
-                fetched0: dict[str, int] = {}
-                per_host: dict[str, int] = {}
-                has_policy: dict[str, bool] = {}
-                out = {
-                    "fingerprint": [], "partition_id": [], "batch_id": [], "state": [],
-                    "_emit": [], "_has_policy": [], "host": [], "_tokens_after": [],
-                    "_fetched_after": [], "_last_refill": [],
-                }
-                n_served = 0
-                for row in pdf.itertuples(index=False):
-                    if n_served >= max_n:
-                        break
-                    host = row.host
-                    if host not in allowance:
-                        has_pol = row.robots_allow is not None and not pd.isna(row.robots_allow)
-                        has_policy[host] = bool(has_pol)
-                        if not has_pol:
-                            allowance[host] = float("inf")
-                        elif not row.robots_allow:
-                            allowance[host] = -1.0
+        # bounded pre-prune: two-phase salted per-host top-K (hot-host skew:
+        # same shape as FrontierEngine.get_next_requests)
+        mph_eff = mph if mph is not None else max_n
+        k_nopol = min(max_n, mph_eff)
+        k_pol = min(k_nopol, int(token_cap) + 1)
+        k_expr = (
+            F.when(F.col("robots_allow").isNotNull(), F.lit(k_pol)).otherwise(F.lit(k_nopol))
+        )
+        salt = F.pmod(F.col("fingerprint"), F.lit(engine.host_salts))
+        w1 = Window.partitionBy("host", salt).orderBy("_ord1", "_ord2")
+        wh = Window.partitionBy("host").orderBy("_ord1", "_ord2")
+        walkable = (
+            walkable.withColumn("_rs", F.row_number().over(w1))
+            .filter(F.col("_rs") <= k_expr)
+            .drop("_rs")
+            .withColumn("_rh", F.row_number().over(wh))
+            .filter(F.col("_rh") <= k_expr)
+            .drop("_rh")
+        )
+        # narrow Arrow transfer: only what the walk reads
+        walk_in = walkable.select(
+            "fingerprint", "partition_id", "host", "_ord1", "_ord2", "_grp",
+            "robots_allow", "delay_s", "budget", "tokens", "last_refill", "fetched",
+        )
+
+        # classic whole-group signature on purpose: the 4.1 iterator form
+        # chunks a group into multiple frames, which would reset the bucket
+        # state mid-walk
+        def schedule(pdf: pd.DataFrame) -> pd.DataFrame:
+            grp = int(pdf["_grp"].iloc[0])
+            # itertuples mangles underscore-leading names (_ord1 → _1): give
+            # the ordering cols walk-local names first
+            pdf = pdf.rename(columns={"_ord1": "ord1", "_ord2": "ord2"})
+            pdf = pdf.sort_values(["ord1", "ord2"], kind="mergesort")
+            allowance: dict[str, float] = {}
+            refilled: dict[str, float] = {}
+            fetched0: dict[str, int] = {}
+            per_host: dict[str, int] = {}
+            has_policy: dict[str, bool] = {}
+            out = {
+                "fingerprint": [], "partition_id": [], "batch_id": [], "state": [],
+                "_emit": [], "_has_policy": [], "host": [], "_tokens_after": [],
+                "_fetched_after": [], "_last_refill": [],
+            }
+            n_served = 0
+            cut = (None, None)
+            for row in pdf.itertuples(index=False):
+                if n_served >= max_n:
+                    break
+                host = row.host
+                if host not in allowance:
+                    has_pol = row.robots_allow is not None and not pd.isna(row.robots_allow)
+                    has_policy[host] = bool(has_pol)
+                    if not has_pol:
+                        allowance[host] = float("inf")
+                    else:
+                        toks = float(row.tokens) if not pd.isna(row.tokens) else token_cap
+                        last = float(row.last_refill) if not pd.isna(row.last_refill) else 0.0
+                        delay = float(row.delay_s) if not pd.isna(row.delay_s) else 0.0
+                        if delay > 0:
+                            toks = min(token_cap, toks + (t_now - last) / delay)
                         else:
-                            toks = float(row.tokens) if not pd.isna(row.tokens) else token_cap
-                            last = float(row.last_refill) if not pd.isna(row.last_refill) else 0.0
-                            delay = float(row.delay_s) if not pd.isna(row.delay_s) else 0.0
-                            if delay > 0:
-                                toks = min(token_cap, toks + (t_now - last) / delay)
-                            else:
-                                toks = token_cap
-                            refilled[host] = toks
-                            fetched0[host] = (
-                                int(row.fetched) if not pd.isna(row.fetched) else 0
-                            )
-                            if row.budget is not None and not pd.isna(row.budget):
-                                toks = min(toks, float(row.budget) - fetched0[host])
-                            allowance[host] = toks
-                    if allowance[host] < 0:  # robots-denied at pop time
-                        out["fingerprint"].append(row.fingerprint)
-                        out["partition_id"].append(row.partition_id)
-                        out["batch_id"].append(None)
-                        out["state"].append(STATE_SKIPPED_ROBOTS)
-                        out["_emit"].append("robots")
-                        out["_has_policy"].append(True)
-                        out["host"].append(host)
-                        out["_tokens_after"].append(None)
-                        out["_fetched_after"].append(None)
-                        out["_last_refill"].append(None)
-                        continue
-                    if mph is not None and per_host.get(host, 0) >= mph:
-                        continue  # stays QUEUED (OverusedBuffer carry-over)
-                    if allowance[host] < 1.0:
-                        continue  # throttled: stays QUEUED
-                    allowance[host] -= 1.0
-                    per_host[host] = per_host.get(host, 0) + 1
-                    n_served += 1
-                    out["fingerprint"].append(row.fingerprint)
-                    out["partition_id"].append(row.partition_id)
-                    out["batch_id"].append(iteration)
-                    out["state"].append(STATE_QUEUED)
-                    out["_emit"].append("feed")
-                    out["_has_policy"].append(has_policy[host])
-                    out["host"].append(host)
-                    out["_tokens_after"].append(None)
-                    out["_fetched_after"].append(None)
-                    out["_last_refill"].append(None)
-                # one domain-update row per touched host with a policy
-                for host, n in per_host.items():
-                    if not has_policy.get(host):
-                        continue
-                    out["fingerprint"].append(None)
-                    out["partition_id"].append(None)
-                    out["batch_id"].append(None)
-                    out["state"].append(None)
-                    out["_emit"].append("domain")
-                    out["_has_policy"].append(True)
-                    out["host"].append(host)
-                    out["_tokens_after"].append(refilled[host] - n)
-                    out["_fetched_after"].append(fetched0[host] + n)
-                    out["_last_refill"].append(t_now)
-                # int64 columns MUST go through nullable Int64 arrays directly:
-                # a mixed int/None list becomes float64 first and silently
-                # rounds 64-bit fingerprints (> 2^53) to wrong values
-                yield pd.DataFrame(
-                    {
-                        "fingerprint": pd.array(out["fingerprint"], dtype="Int64"),
-                        "partition_id": pd.array(out["partition_id"], dtype="Int32"),
-                        "batch_id": pd.array(out["batch_id"], dtype="Int64"),
-                        "state": pd.array(out["state"], dtype="Int32"),
-                        "_emit": out["_emit"],
-                        "_has_policy": out["_has_policy"],
-                        "host": out["host"],
-                        "_tokens_after": pd.Series(out["_tokens_after"], dtype="float64"),
-                        "_fetched_after": pd.array(out["_fetched_after"], dtype="Int64"),
-                        "_last_refill": pd.Series(out["_last_refill"], dtype="float64"),
-                    }
-                )
+                            toks = token_cap
+                        refilled[host] = toks
+                        fetched0[host] = int(row.fetched) if not pd.isna(row.fetched) else 0
+                        if row.budget is not None and not pd.isna(row.budget):
+                            toks = min(toks, float(row.budget) - fetched0[host])
+                        allowance[host] = toks
+                if mph is not None and per_host.get(host, 0) >= mph:
+                    continue  # stays QUEUED (OverusedBuffer carry-over)
+                if allowance[host] < 1.0:
+                    continue  # throttled: stays QUEUED
+                allowance[host] -= 1.0
+                per_host[host] = per_host.get(host, 0) + 1
+                n_served += 1
+                if n_served >= max_n:
+                    # the reference walk stops HERE: denied rows ordered
+                    # after this key were never encountered
+                    cut = (int(row.ord1), int(row.ord2))
+                out["fingerprint"].append(row.fingerprint)
+                out["partition_id"].append(row.partition_id)
+                out["batch_id"].append(iteration)
+                out["state"].append(STATE_QUEUED)
+                out["_emit"].append("feed")
+                out["_has_policy"].append(has_policy[host])
+                out["host"].append(host)
+                out["_tokens_after"].append(None)
+                out["_fetched_after"].append(None)
+                out["_last_refill"].append(None)
+            # one domain-update row per touched host with a policy
+            for host, n in per_host.items():
+                if not has_policy.get(host):
+                    continue
+                out["fingerprint"].append(None)
+                out["partition_id"].append(None)
+                out["batch_id"].append(None)
+                out["state"].append(None)
+                out["_emit"].append("domain")
+                out["_has_policy"].append(True)
+                out["host"].append(host)
+                out["_tokens_after"].append(refilled[host] - n)
+                out["_fetched_after"].append(fetched0[host] + n)
+                out["_last_refill"].append(t_now)
+            # the group's robots cutoff (NULL key = mark every denied row)
+            out["fingerprint"].append(None)
+            out["partition_id"].append(None)
+            out["batch_id"].append(None)
+            out["state"].append(None)
+            out["_emit"].append("cutoff")
+            out["_has_policy"].append(False)
+            out["host"].append(None)
+            out["_tokens_after"].append(None)
+            out["_fetched_after"].append(None)
+            out["_last_refill"].append(None)
+            n = len(out["_emit"])
+            cut1 = [None] * (n - 1) + [cut[0]]
+            cut2 = [None] * (n - 1) + [cut[1]]
+            # int64 columns MUST go through nullable Int64 arrays directly:
+            # a mixed int/None list becomes float64 first and silently
+            # rounds 64-bit fingerprints (> 2^53) to wrong values
+            return pd.DataFrame(
+                {
+                    "fingerprint": pd.array(out["fingerprint"], dtype="Int64"),
+                    "partition_id": pd.array(out["partition_id"], dtype="Int32"),
+                    "batch_id": pd.array(out["batch_id"], dtype="Int64"),
+                    "state": pd.array(out["state"], dtype="Int32"),
+                    "_emit": out["_emit"],
+                    "_has_policy": out["_has_policy"],
+                    "host": out["host"],
+                    "_tokens_after": pd.Series(out["_tokens_after"], dtype="float64"),
+                    "_fetched_after": pd.array(out["_fetched_after"], dtype="Int64"),
+                    "_last_refill": pd.Series(out["_last_refill"], dtype="float64"),
+                    "_grp": pd.array([grp] * n, dtype="Int32"),
+                    "_cut1": pd.array(cut1, dtype="Int64"),
+                    "_cut2": pd.array(cut2, dtype="Int64"),
+                }
+            )
 
-        return joined.groupBy("_grp").applyInPandas(schedule, _SCHED_SCHEMA)
+        walk = walk_in.groupBy("_grp").applyInPandas(schedule, _SCHED_SCHEMA)
+        return walk, denied
 
     def pop(self, max_n: int, max_per_host: int | None = None, mode: str = "global") -> DataFrame:
         """Strategy-ordered, politeness-gated destructive pop.
@@ -257,10 +316,36 @@ class PoliteScheduler:
         """
         engine, domains = self.engine, self.domains
         iteration = engine.iteration + 1
-        decisions = self.decide(iteration, max_n, max_per_host, mode).cache()
+        walk, denied = self.decide(iteration, max_n, max_per_host, mode)
+        decisions = walk.cache()
+
+        # robots skips, JVM-side: denied rows whose ordering key precedes
+        # their group's cutoff (no/NULL cutoff = the walk ran out of input,
+        # so the reference would have encountered — and marked — every one)
+        cutoffs = decisions.filter(F.col("_emit") == "cutoff").select(
+            F.col("_grp").alias("_cgrp"), "_cut1", "_cut2"
+        )
+        robots = (
+            denied.join(F.broadcast(cutoffs), denied["_grp"] == F.col("_cgrp"), "left")
+            .filter(
+                F.col("_cut1").isNull()
+                | (F.col("_ord1") < F.col("_cut1"))
+                | ((F.col("_ord1") == F.col("_cut1")) & (F.col("_ord2") < F.col("_cut2")))
+            )
+            .select(
+                "fingerprint",
+                "partition_id",
+                F.lit(None).cast("long").alias("batch_id"),
+                F.lit(STATE_SKIPPED_ROBOTS).cast("int").alias("state"),
+            )
+        )
 
         # frontier commit: feed marks + robots skips in one MERGE
-        marks = decisions.filter(F.col("_emit").isin("feed", "robots"))
+        marks = (
+            decisions.filter(F.col("_emit") == "feed")
+            .select("fingerprint", "partition_id", "batch_id", "state")
+            .unionByName(robots)
+        ).cache()
         touched = marks.groupBy("partition_id").count().collect()
         if not touched:
             # nothing servable this tick — still advance the crawl clock so
@@ -271,11 +356,11 @@ class PoliteScheduler:
             m["snapshot_id"] += 1
             m["parent_id"] = m["snapshot_id"] - 1
             engine.table._write_manifest(m)
+            marks.unpersist()
             decisions.unpersist()
             return engine.table.read().limit(0)
         full = (
-            marks.select("fingerprint", "partition_id", "batch_id", "state")
-            .join(
+            marks.join(
                 engine.table.read().drop("batch_id", "state"),
                 ["fingerprint", "partition_id"],
                 "inner",
@@ -312,6 +397,7 @@ class PoliteScheduler:
             .withColumn("jid", F.lit(engine.jid).cast("int"))
         ).cache()
         feed.count()  # materialize before dropping the decisions cache
+        marks.unpersist()
         decisions.unpersist()
         return feed
 
