@@ -141,9 +141,11 @@ class FrontierEngine:
         if "depth" not in df.columns:
             df = df.withColumn("depth", F.lit(0))
         if "_o1" not in df.columns:
-            df = df.withColumn("_o1", F.lit(0)).withColumn(
-                "_o2", F.row_number().over(Window.orderBy("url"))
-            )
+            # discovery order = url asc. The url string IS the order key —
+            # (_o1,_o2) are only ever compared/range-partitioned, never used
+            # arithmetically, so no row_number over a global (single-
+            # partition) window is needed
+            df = df.withColumn("_o1", F.lit(0)).withColumn("_o2", F.col("url"))
         df = (
             df.withColumn("canonical_url", canonicalize_urls_udf("url"))
             .withColumn("host", host_col(F.col("canonical_url")))
@@ -281,11 +283,18 @@ class FrontierEngine:
         return self._finalize(self._prepare(df))
 
     def add_seeds_file(self, path: str) -> int:
+        """Bulk seed load; line order = discovery order. The order key is
+        ``monotonically_increasing_id()`` used AS a key (split index in the
+        high bits, offset in the low bits = file order for a text scan) —
+        not fed through a global window, which would single-partition a
+        10^10-line seed file. Dense seqs are assigned range-partitioned in
+        ``_finalize``."""
         lines = self.spark.read.text(path)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        seeds = lines.select(
-            F.trim("value").alias("url")
-        ).filter(F.col("url") != "").withColumn("seq", F.row_number().over(w))
+        seeds = (
+            lines.withColumn("seq", F.monotonically_increasing_id())
+            .select(F.trim("value").alias("url"), "seq")
+            .filter(F.col("url") != "")
+        )
         return self.add_seeds(seeds)
 
     def links_extracted(self, links: DataFrame) -> int:

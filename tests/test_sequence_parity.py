@@ -118,3 +118,23 @@ def test_max_depth_guard(spark, tmp_path):
     got_order, got_states = run_crawl(eng, G_CYCLE, [f"{H1}/A"], 64)
     assert got_order == exp_order == [f"{H1}/A", f"{H1}/B"]
     assert got_states == exp_states
+
+
+def test_seed_file_order_parity(spark, tmp_path):
+    """Bulk file load: seq order == file line order, with no global-window
+    numbering (frontier seq must equal the oracle's discovery order even when
+    the text scan splits across partitions)."""
+    urls = [f"https://h{i % 5}.example.test/p/{i:05d}" for i in (3, 1, 4, 1, 5, 9, 2, 6, 8, 7)]
+    urls = [u for i, u in enumerate(urls) if urls.index(u) == i]  # drop in-file dup
+    path = tmp_path / "seeds.txt"
+    path.write_text("\n".join([urls[0], "", *urls[1:]]) + "\n")  # blank line ignored
+    eng = _engine(spark, tmp_path, "fifo")
+    n = eng.add_seeds_file(str(path))
+    assert n == len(urls)
+    got = [
+        r.canonical_url
+        for r in eng.table.read().orderBy("seq").select("canonical_url").collect()
+    ]
+    assert got == urls
+    # idempotent re-load
+    assert eng.add_seeds_file(str(path)) == 0
