@@ -722,26 +722,31 @@ def q_lsh_bucket_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id"), ve.alias("v"))
-    planes = vecs.filter(F.col("vec_id") < 6).select(
-        F.col("vec_id").alias("pid"), F.col("v").alias("p")
+    # plane vectors as LITERALS (a 6-row driver collect of data-derived
+    # hyperplanes): the signature becomes one narrow projection — no
+    # dim-table cross join (and no BroadcastNestedLoop) in the plan
+    plane_rows = (
+        emb.filter(F.col("vec_id") < 6)
+        .orderBy("vec_id")
+        .select(ve.alias("v"))
+        .collect()
     )
-    dot_vp = F.aggregate(
-        F.zip_with(F.col("v"), F.col("p"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sigs = (
-        vecs.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "v",
-            F.when(dot_vp > 0, F.pow(F.lit(2.0), F.col("pid")).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
+
+    def dot_lit(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .groupBy("vec_id")
-        .agg(F.sum("bit").alias("bucket"), F.first("v").alias("v"))
-    )
+
+    bucket = None
+    for p, r in enumerate(plane_rows):
+        bit = F.when(dot_lit(r["v"]) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    sigs = vecs.select("vec_id", "v", bucket.alias("bucket"))
     q = sigs.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("q")
     )
@@ -800,6 +805,298 @@ WHERE rk <= 10
 """
 
 
+# --------------------------------- banded MinHash-LSH near-dup join (scale path)
+
+_LSH_PERMS = 12  # k permutations = N_BANDS × BAND_R
+_LSH_BANDS = 4
+_LSH_R = 3
+_LSH_JACCARD_MIN = 0.6  # verify threshold ≈ the (1/b)^(1/r) s-curve knee
+
+
+def _aug_docs(spark, sf_dir):
+    """documents ∪ deterministic near-dup variants: for doc_id < 150 a copy
+    (doc_id+1000) with the first token dropped — Jaccard (n-3)/(n-2) vs the
+    original, so the LSH join has real positives to find. Both engines derive
+    the same rows (no external data)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    variants = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1)).alias("text"),
+        )
+    )
+    return docs.unionByName(variants)
+
+
+_AUG_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id,
+         array_to_string((string_split_regex(text, '\\s+'))[2:], ' ') AS text
+  FROM documents WHERE doc_id < 150
+"""
+
+
+def _shingles3():
+    """Distinct token-3-shingle set of ``text``."""
+    toks = F.split(F.col("text"), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH near-dup JOIN — the scale path that replaces the
+    all-pairs cross join (q_ngram_jaccard_pairs is the capped brute-force
+    baseline): k=12 md5-permutation minhashes over 3-shingles → 4 bands × 3
+    rows → candidate pairs from a (band, band_sig) EQUI-join (shuffle hash,
+    no cartesian anywhere in the plan) → exact-Jaccard verify on candidates
+    only. At 10^10 docs the band join touches O(collisions), not O(n²);
+    recall is tuned by (bands, rows) on the (1/b)^(1/r) s-curve.
+    frontera has no dedup operator (SURVEY.md §2 'absent'); this is the
+    LLM-pipeline requirement from the builder brief."""
+    sh = _aug_docs(spark, sf_dir).select(
+        F.col("doc_id"), _shingles3().alias("sh")
+    ).filter(F.size("sh") >= 3)
+
+    def mh(p):  # permutation p = lexicographic min of md5('p:' || shingle)
+        return F.array_min(
+            F.transform(F.col("sh"), lambda x: F.md5(F.encode(F.concat(F.lit(f"{p}:"), x), "utf-8")))
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[mh(b * _LSH_R + r) for r in range(_LSH_R)]), "utf-8"
+                )
+            ).alias("sig"),
+        )
+        for b in range(_LSH_BANDS)
+    ]
+    bands = sh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _LSH_JACCARD_MIN)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _mh_sql(p):
+    return f"list_min(list_transform(s, x -> md5('{p}:' || x)))"
+
+
+_BAND_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    f"md5(concat_ws('|', {', '.join(_mh_sql(b * _LSH_R + r) for r in range(_LSH_R))})) AS sig FROM sh"
+    for b in range(_LSH_BANDS)
+)
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 2),
+                  i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+  FROM toks WHERE len(t) >= 3),
+bands AS (
+{_BAND_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+    FLOOR(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+          * 10000.0 + 0.5) / 10000.0 AS jaccard
+  FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id)
+WHERE jaccard >= {_LSH_JACCARD_MIN}
+"""
+
+
+def q_lsh_neardup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs, LSH-bucketed — the scale path replacing the
+    brute-force q_embed_neardup_pairs: hyperplane-sign signatures (planes =
+    the first 6 embeddings, deterministic) bucket the corpus; candidate
+    pairs come from a bucket EQUI-join (no cartesian), then exact cosine
+    verifies. One 6-bit band here; more bands / multi-probe raise recall at
+    the standard LSH cost curve."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id"), ve.alias("v"))
+    # plane vectors as LITERALS (a 6-row driver collect of data-derived
+    # hyperplanes): the signature becomes one narrow projection — no
+    # dim-table cross join (and no BroadcastNestedLoop) in the plan
+    plane_rows = (
+        emb.filter(F.col("vec_id") < 6)
+        .orderBy("vec_id")
+        .select(ve.alias("v"))
+        .collect()
+    )
+
+    def dot_lit(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p, r in enumerate(plane_rows):
+        bit = F.when(dot_lit(r["v"]) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    sigs = vecs.select("vec_id", "v", bucket.alias("bucket"))
+    a = sigs.select(F.col("vec_id").alias("a"), F.col("bucket"), F.col("v").alias("va"))
+    b = sigs.select(F.col("vec_id").alias("b"), F.col("bucket"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("va"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("vb"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    cos = F.floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("a", "b", "cos_sim")
+    )
+
+
+SQL_LSH_NEARDUP_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT vec_id AS pid, v AS p FROM e WHERE vec_id < 6),
+sigs AS (
+  SELECT e.vec_id, any_value(e.v) AS v,
+    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.p) > 0
+             THEN CAST(2 ** planes.pid AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes GROUP BY e.vec_id)
+SELECT a, b, cos_sim FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    FLOOR(list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+          * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+WHERE cos_sim >= 0.3
+"""
+
+
+def q_phash_neardup_pairs(spark, sf_dir):
+    """Perceptual-hash (image) near-dup join by Hamming distance: 64-bit
+    phash banded into 4 × 16-bit chunks; any pair within Hamming ≤ 3 shares
+    at least one intact chunk (pigeonhole), so candidates come from a chunk
+    EQUI-join and popcount(xor) verifies ≤ 3 exactly — no cartesian. The
+    corpus table's real phash column drives the same plan in the engine;
+    here phash is derived deterministically from the documents table (md5
+    high bits) with bit-flip variants (doc_id+1000, phash ⊕ 0b101) as
+    guaranteed near-dups."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.conv(F.substring(F.md5(F.encode(F.col("text"), "utf-8")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    variants = base.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    ph = base.unionByName(variants)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("phash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for c in range(4)
+    ]
+    chunks = ph.select(
+        "doc_id", "phash", F.explode(F.array(*chunk_structs)).alias("cs")
+    ).select("doc_id", "phash", F.col("cs.chunk").alias("chunk"), F.col("cs.val").alias("val"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
+
+
+SQL_PHASH_NEARDUP_PAIRS = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents),
+ph AS (
+  SELECT doc_id, phash FROM base
+  UNION ALL
+  SELECT doc_id + 1000, xor(phash, 5) FROM base WHERE doc_id < 150),
+chunks AS (
+  SELECT doc_id, phash, c.chunk,
+         ((phash >> (16 * c.chunk)) & 65535) AS val
+  FROM ph CROSS JOIN (SELECT UNNEST(range(4)) AS chunk) c),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.phash AS pa, y.phash AS pb
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.val = y.val
+       AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM (
+  SELECT a, b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming FROM cand)
+WHERE hamming <= 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -828,4 +1125,7 @@ QUERIES = {
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
+    "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
 }
