@@ -314,6 +314,8 @@ class FrontierEngine:
         max_per_host: int | None = None,
         mode: str = "global",
         mark: bool = True,
+        min_requests: int | None = None,
+        min_hosts: int | None = None,
     ) -> DataFrame:
         """Destructive top-k pop (T1): returns the feed batch and marks rows.
 
@@ -323,6 +325,20 @@ class FrontierEngine:
         ``max_n`` (the cluster-scale path; no global shuffle, matches
         frontera's per-partition get_next_requests contract where partition
         consumers are independent).
+
+        ``min_requests`` / ``min_hosts`` reproduce frontera's batch-shaping
+        floors (HBaseQueue.get_next_requests(min_requests=, min_hosts=,
+        max_requests_per_host=), settings BC_MIN_REQUESTS / BC_MIN_HOSTS,
+        frontera/contrib/backends/hbase/__init__.py:~150-240): the scan stops
+        at the EARLIEST point where it has taken ≥ min_requests rows covering
+        ≥ min_hosts distinct hosts (so one hot host can't fill the whole
+        batch), still hard-capped at ``max_n``; if the floors are unreachable
+        the whole (capped) queue is returned. Both stop conditions are
+        monotone in the take position, so the cutoff is a window expression
+        over the already-bounded top-``max_n`` prefix — no extra pass over
+        the frontier. Floors apply per consumer group (globally in 'global'
+        mode, per partition in 'per_partition' mode, matching the
+        per-partition DBWorker batch generator).
         """
         iteration = self.iteration + 1
         # revisiting (frontera/contrib/backends/sqlalchemy/revisiting.py):
@@ -356,14 +372,38 @@ class FrontierEngine:
                 .drop("_rh")
             )
         if mode == "global":
+            grp = F.lit(0)
             wg = Window.orderBy(*order)
         else:
+            grp = F.col("partition_id")
             wg = Window.partitionBy("partition_id").orderBy(*order)
-        batch = (
-            cand.withColumn("_rn", F.row_number().over(wg))
-            .filter(F.col("_rn") <= max_n)
-            .drop("_rn")
-        )
+        batch = cand.withColumn("_rn", F.row_number().over(wg)).filter(F.col("_rn") <= max_n)
+        if min_requests is not None or min_hosts is not None:
+            min_req = min_requests or 0
+            min_h = min_hosts or 0
+            batch = batch.withColumn("_bgrp", grp)
+            # cumulative distinct-host count along the take order (bounded:
+            # the window runs over ≤ max_n rows per group)
+            w_first = Window.partitionBy("_bgrp", "host").orderBy("_rn")
+            w_cum = Window.partitionBy("_bgrp").orderBy("_rn")
+            w_grp = Window.partitionBy("_bgrp")
+            batch = (
+                batch.withColumn(
+                    "_nh", (F.row_number().over(w_first) == 1).cast("int")
+                )
+                .withColumn("_ch", F.sum("_nh").over(w_cum))
+                .withColumn(
+                    "_cut",
+                    F.min(
+                        F.when(
+                            (F.col("_rn") >= min_req) & (F.col("_ch") >= min_h), F.col("_rn")
+                        )
+                    ).over(w_grp),
+                )
+                .filter(F.col("_rn") <= F.coalesce("_cut", F.lit(max_n)))
+                .drop("_bgrp", "_nh", "_ch", "_cut")
+            )
+        batch = batch.drop("_rn")
         # the feed is stamped with the CURRENT engine jid, not the row's
         # enqueue-time jid: fencing (X7) must drop results from requests
         # *dispatched* under an older epoch — frontera fences on the jid the

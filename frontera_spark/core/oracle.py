@@ -109,15 +109,24 @@ class OracleFrontier:
             toks = min(toks, budget - self.fetched.get(host, 0))
         return toks
 
-    def get_next_requests(self, max_n: int, t_now: float = 0.0) -> list[str]:
+    def get_next_requests(
+        self,
+        max_n: int,
+        t_now: float = 0.0,
+        min_requests: int | None = None,
+        min_hosts: int | None = None,
+    ) -> list[str]:
         """Destructive top-k pop: per-host cap within the batch, token-bucket
         politeness + budget + robots gating when ``politeness`` is set.
         Throttled/capped items go back on the heap (OverusedBuffer: buffer the
-        overused host's requests, serve other hosts)."""
+        overused host's requests, serve other hosts). ``min_requests`` /
+        ``min_hosts`` are frontera's batch-shaping floors (BC_MIN_REQUESTS /
+        BC_MIN_HOSTS): stop at the earliest take meeting both."""
         batch: list[str] = []
         skipped: list = []
         per_host: dict[str, int] = {}
         allowance: dict[str, float] = {}
+        floors = min_requests is not None or min_hosts is not None
         while self.heap and len(batch) < max_n:
             key, seq, url = heapq.heappop(self.heap)
             host = self._host(url)
@@ -135,6 +144,12 @@ class OracleFrontier:
             allowance[host] -= 1.0
             per_host[host] = per_host.get(host, 0) + 1
             batch.append(url)
+            if (
+                floors
+                and len(batch) >= (min_requests or 0)
+                and len(per_host) >= (min_hosts or 0)
+            ):
+                break
         for item in skipped:
             heapq.heappush(self.heap, item)
         for host, n in per_host.items():

@@ -131,6 +131,63 @@ SELECT doc_id, host, n_chars, rk FROM (
 """
 
 
+# ---------------------------------------- A2 floors: min_hosts/min_requests
+
+
+def q_batch_shaping(spark, sf_dir):
+    """Full frontera batch shaping (HBaseQueue.get_next_requests semantics,
+    BC_MIN_REQUESTS/BC_MIN_HOSTS/BC_MAX_REQUESTS_PER_HOST): per-host cap 3,
+    hard cap 50, then stop at the earliest take position with ≥ 20 rows
+    covering ≥ 6 distinct hosts — the same monotone-window cutoff
+    FrontierEngine.get_next_requests uses."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), _host().alias("host"), F.col("n_chars")
+    )
+    wh = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = base.withColumn("rh", F.row_number().over(wh)).filter(F.col("rh") <= 3)
+    wg = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = (
+        capped.withColumn("rn", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("rn") <= 50)
+    )
+    w_first = Window.partitionBy("host").orderBy("rn")
+    w_cum = Window.orderBy("rn")
+    w_all = Window.partitionBy(F.lit(0))
+    return (
+        ranked.withColumn("_nh", (F.row_number().over(w_first) == 1).cast("int"))
+        .withColumn("_ch", F.sum("_nh").over(w_cum))
+        .withColumn(
+            "_cut",
+            F.min(F.when((F.col("rn") >= 20) & (F.col("_ch") >= 6), F.col("rn"))).over(w_all),
+        )
+        .filter(F.col("rn") <= F.coalesce("_cut", F.lit(50)))
+        .select("doc_id", "host", "rn")
+    )
+
+
+SQL_BATCH_SHAPING = f"""
+WITH base AS (SELECT doc_id, {_HOST_SQL} AS host, n_chars FROM documents),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, host, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id ASC) AS rh
+    FROM base) WHERE rh <= 3),
+ranked AS (
+  SELECT * FROM (
+    SELECT doc_id, host, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM capped) WHERE rn <= 50),
+c AS (
+  SELECT doc_id, host, rn,
+         SUM(CASE WHEN frh = 1 THEN 1 ELSE 0 END) OVER (ORDER BY rn) AS ch
+  FROM (SELECT doc_id, host, rn,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY rn) AS frh
+        FROM ranked)),
+cut AS (SELECT MIN(CASE WHEN rn >= 20 AND ch >= 6 THEN rn END) AS cut FROM c)
+SELECT doc_id, host, rn FROM c, cut WHERE rn <= COALESCE(cut.cut, 50)
+"""
+
+
 # ------------------------------------------------------ W1: BFS pop ordering
 
 
@@ -1104,6 +1161,7 @@ QUERIES = {
     "canonicalize": (q_canonicalize, SQL_CANONICALIZE),
     "dedup_anti_join": (q_dedup_anti_join, SQL_DEDUP_ANTI_JOIN),
     "perhost_topk": (q_perhost_topk, SQL_PERHOST_TOPK),
+    "batch_shaping": (q_batch_shaping, SQL_BATCH_SHAPING),
     "bfs_order": (q_bfs_order, SQL_BFS_ORDER),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "partition_counts": (q_partition_counts, SQL_PARTITION_COUNTS),

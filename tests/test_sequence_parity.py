@@ -138,3 +138,37 @@ def test_seed_file_order_parity(spark, tmp_path):
     assert got == urls
     # idempotent re-load
     assert eng.add_seeds_file(str(path)) == 0
+
+
+def test_min_hosts_min_requests_floors(spark, tmp_path):
+    """A2 floors parity (frontera BC_MIN_REQUESTS/BC_MIN_HOSTS): a hot host
+    floods the queue; the floors force host diversity and stop the batch at
+    the earliest qualifying take, exactly like the oracle."""
+    from frontera_spark.core.oracle import OracleFrontier
+
+    # hot host A gets 20 URLs queued first (lowest seq = popped first under
+    # FIFO); hosts B..F get 2 each afterwards
+    urls = [f"{H1}/hot/{i}" for i in range(20)] + [
+        f"https://{c}.example.test/p/{i}" for c in "bcdef" for i in range(2)
+    ]
+    for kwargs in (
+        {"min_requests": 8, "min_hosts": 3},
+        {"min_requests": 3, "min_hosts": 5, "max_per_host": 4},
+        {"min_requests": 25, "min_hosts": 2},   # floors beyond max_n → cap wins
+        {"min_requests": 2, "min_hosts": 99},   # unreachable hosts floor
+    ):
+        name = "_".join(f"{k}{v}" for k, v in sorted(kwargs.items()))
+        oracle = OracleFrontier(strategy="fifo", max_per_host=kwargs.get("max_per_host"))
+        oracle.add_seeds(urls)
+        exp = oracle.get_next_requests(
+            16,
+            min_requests=kwargs.get("min_requests"),
+            min_hosts=kwargs.get("min_hosts"),
+        )
+        eng = FrontierEngine(spark, str(tmp_path / f"eng_{name}"), n_partitions=1, strategy="fifo")
+        seeds = spark.createDataFrame([(u, i) for i, u in enumerate(urls)], "url string, seq int")
+        eng.add_seeds(seeds)
+        batch = eng.get_next_requests(16, mode="global", **kwargs)
+        got = [r.canonical_url for r in batch.orderBy("seq").collect()]
+        batch.unpersist()
+        assert got == exp, f"{name}: {got} != {exp}"
