@@ -74,6 +74,7 @@ class FrontierEngine:
         use_seen_shards: bool = False,
         shard_capacity: int = 1 << 20,
         host_salts: int = 16,
+        canonical_solver: str = "basic",
     ):
         self.spark = spark
         self.workdir = workdir
@@ -84,6 +85,9 @@ class FrontierEngine:
         self.robots_deny_hosts = frozenset(robots_deny_hosts or ())
         self.jid = jid
         self.host_salts = host_salts
+        from frontera_spark.functions.canonical import SOLVERS
+
+        self.canonical_solver = SOLVERS[canonical_solver]
         path = os.path.join(workdir, "frontier")
         if os.path.exists(os.path.join(path, "CURRENT")):
             self.table = SnapshotTable.load(spark, path)
@@ -138,6 +142,13 @@ class FrontierEngine:
         fingerprint/crc32/partition (JVM).
         """
         df = links
+        if "redirect_urls" in df.columns:
+            # canonical solver (P4/E6): fold the redirect chain into one
+            # canonical identity before fingerprinting, so redirect aliases
+            # dedup to a single frontier row
+            df = df.withColumn(
+                "url", self.canonical_solver(F.col("url"), F.col("redirect_urls"))
+            ).drop("redirect_urls")
         if "depth" not in df.columns:
             df = df.withColumn("depth", F.lit(0))
         if "_o1" not in df.columns:

@@ -87,6 +87,50 @@ SELECT doc_id, {_URL_SQL} || '?a=1&b=2' AS canonical_url FROM documents
 """
 
 
+# -------------------------------------------------- P4/E6: canonical solver
+
+
+def q_canonical_solver(spark, sf_dir):
+    """Redirect-chain resolution, both shipped strategies (frontera
+    contrib/canonicalsolvers/basic.py): Basic = first hop; Corporate =
+    first site-root hop if any. Chains are derived deterministically: every
+    third doc's chain passes through its host's front page."""
+    from frontera_spark.functions.canonical import solve_basic, solve_corporate
+
+    url = _url()
+    root = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 31).cast("string"), F.lit(".example.test/")
+    )
+    hop1 = F.concat(url, F.lit("?rd=1"))
+    hop3 = F.concat(url, F.lit("/final"))
+    chain = F.when(F.col("doc_id") % 3 == 0, F.array(hop1, root, hop3)).otherwise(
+        F.array(hop1, hop3)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        solve_basic(url, chain).alias("canonical_basic"),
+        solve_corporate(url, chain).alias("canonical_corporate"),
+    )
+
+
+SQL_CANONICAL_SOLVER = f"""
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN [{_URL_SQL} || '?rd=1',
+            'https://h' || CAST(doc_id % 31 AS VARCHAR) || '.example.test/',
+            {_URL_SQL} || '/final']
+      ELSE [{_URL_SQL} || '?rd=1', {_URL_SQL} || '/final'] END AS chain
+  FROM documents)
+SELECT doc_id,
+  chain[1] AS canonical_basic,
+  COALESCE(
+    list_filter(chain, u -> regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/?$'))[1],
+    chain[1]) AS canonical_corporate
+FROM c
+"""
+
+
 # ------------------------------------------------------- J2/P7: dedup anti-join
 
 
@@ -1159,6 +1203,7 @@ WHERE hamming <= 3
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
     "canonicalize": (q_canonicalize, SQL_CANONICALIZE),
+    "canonical_solver": (q_canonical_solver, SQL_CANONICAL_SOLVER),
     "dedup_anti_join": (q_dedup_anti_join, SQL_DEDUP_ANTI_JOIN),
     "perhost_topk": (q_perhost_topk, SQL_PERHOST_TOPK),
     "batch_shaping": (q_batch_shaping, SQL_BATCH_SHAPING),

@@ -68,3 +68,41 @@ def test_stale_jid_results_are_fenced(spark, tmp_path):
     eng0b.page_crawled(feed)
     assert eng0b.count(STATE_CRAWLED) == 6
     feed.unpersist()
+
+
+def test_canonical_solver_dedups_redirect_aliases(spark, tmp_path):
+    """P4/E6: links arriving via different redirect chains that resolve to
+    the same canonical URL collapse to ONE frontier row; corporate variant
+    prefers the site root hop."""
+    eng = FrontierEngine(spark, str(tmp_path / "eng_b"), n_partitions=1, strategy="fifo")
+    links = spark.createDataFrame(
+        [
+            ("https://a.example.test/landing?x=1", ["https://a.example.test/p/1", "https://a.example.test/landing?x=1"], 0),
+            ("https://a.example.test/other", ["https://a.example.test/p/1"], 1),
+            ("https://b.example.test/p/2", None, 2),
+        ],
+        "url string, redirect_urls array<string>, seq int",
+    )
+    n = eng.add_seeds(links)
+    # both chains resolve to .../p/1 (Basic = first hop) + the chainless row
+    assert n == 2
+    urls = {r.canonical_url for r in eng.table.read().collect()}
+    assert urls == {"https://a.example.test/p/1", "https://b.example.test/p/2"}
+
+    eng2 = FrontierEngine(
+        spark, str(tmp_path / "eng_c"), n_partitions=1, strategy="fifo",
+        canonical_solver="corporate",
+    )
+    links2 = spark.createDataFrame(
+        [
+            ("https://a.example.test/deep?utm=x",
+             ["https://a.example.test/deep?utm=x", "https://a.example.test/", "https://a.example.test/home"], 0),
+            ("https://b.example.test/deep",
+             ["https://b.example.test/deep", "https://b.example.test/final"], 1),
+        ],
+        "url string, redirect_urls array<string>, seq int",
+    )
+    assert eng2.add_seeds(links2) == 2
+    urls2 = {r.canonical_url for r in eng2.table.read().collect()}
+    # chain 1 → site root; chain 2 has no root → Basic (first hop)
+    assert urls2 == {"https://a.example.test/", "https://b.example.test/deep"}
