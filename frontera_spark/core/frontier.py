@@ -165,6 +165,9 @@ class FrontierEngine:
         )
         if self.max_depth is not None:
             df = df.filter(F.col("depth") <= self.max_depth)
+        # strategy link predicate (P6, frontera filter_extracted_links):
+        # runs after canonicalization so it can see url/canonical_url/host/depth
+        df = self.strategy.filter_links(df)
         df = (
             df.withColumn("fingerprint", fingerprint64_col(F.col("canonical_url")))
             .withColumn("host_crc32", crc32_signed_col(F.col("host")))

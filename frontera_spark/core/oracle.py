@@ -48,7 +48,8 @@ class OracleFrontier:
     ``robots_allow=False`` hosts are marked SKIPPED_ROBOTS at pop time.
     """
 
-    strategy: str = "bfs"
+    strategy: str | object = "bfs"  # name, or callable (url, depth, seq) -> key
+    link_filter: object = None  # callable (url, depth) -> bool (E1/P6 hook)
     max_depth: int | None = None
     max_url_length: int = 2048
     robots_deny_hosts: frozenset = frozenset()
@@ -74,6 +75,8 @@ class OracleFrontier:
             return
         if self.max_depth is not None and depth > self.max_depth:
             return
+        if self.link_filter is not None and not self.link_filter(canon, depth):
+            return  # strategy filter_extracted_links: silently dropped
         if canon in self.states:
             return  # dedup: NOT_CRAWLED-only scheduling (frontera strategy/basic.py)
         if self._host(canon) in self.robots_deny_hosts:
@@ -81,7 +84,11 @@ class OracleFrontier:
             return
         self.states[canon] = QUEUED
         self.depths[canon] = depth
-        key = ORDERINGS[self.strategy](depth, self.seq)
+        key = (
+            ORDERINGS[self.strategy](depth, self.seq)
+            if isinstance(self.strategy, str)
+            else self.strategy(canon, depth, self.seq)
+        )
         heapq.heappush(self.heap, (key, self.seq, canon))
         self.seq += 1
 

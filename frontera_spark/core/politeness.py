@@ -98,18 +98,9 @@ class PoliteScheduler:
 
     def _ordering_cols(self, df: DataFrame, iteration: int) -> DataFrame:
         """Materialize the strategy ordering as two ascending sort columns so
-        the pandas walk needs no strategy-specific code."""
-        name = self.engine.strategy.name
-        if name == "fifo":
-            o1, o2 = F.lit(0).cast("long"), F.col("seq")
-        elif name == "lifo":
-            o1, o2 = F.lit(0).cast("long"), -F.col("seq")
-        elif name == "bfs":
-            o1, o2 = F.col("depth").cast("long"), F.col("seq")
-        elif name == "dfs":
-            o1, o2 = -F.col("depth").cast("long"), F.col("seq")
-        else:  # random: deterministic per-iteration shuffle
-            o1, o2 = F.xxhash64(F.col("canonical_url"), F.lit(iteration)), F.lit(0).cast("long")
+        the pandas walk needs no strategy-specific code (built-ins and
+        CustomStrategy both supply them via Strategy.pandas_order)."""
+        o1, o2 = self.engine.strategy.pandas_order(iteration)
         return df.withColumn("_ord1", o1).withColumn("_ord2", o2)
 
     def decide(

@@ -1,18 +1,40 @@
-"""Crawling strategies as declarative ordering specs.
+"""Crawling strategies as declarative ordering specs — plus the user
+extension surface (E1/P6).
 
 Reference: frontera's memory-backend heap comparators + crawling strategies
 (frontera/contrib/backends/memory/__init__.py:~40-120, frontera/strategy/
-depth.py:~1-60, basic.py). A strategy here is not imperative callback code but
-a named *column ordering* the scheduler window sorts by, plus a score
-expression — the whole BFS/DFS/FIFO/LIFO behavior space collapses into
-``ORDER BY`` clauses Catalyst can plan.
+depth.py:~1-60, basic.py) and the ``BaseCrawlingStrategy`` hook surface
+(frontera/strategy/__init__.py:~1-150: ``schedule(request, score)``,
+``filter_extracted_links``). A strategy here is not imperative callback code
+but a named *column ordering* the scheduler window sorts by, plus a score
+expression and an optional link predicate — the whole strategy behavior
+space collapses into ``ORDER BY`` / ``WHERE`` clauses Catalyst can plan.
+
+Users extend by instantiating :class:`CustomStrategy` (no engine edits):
+
+    hot_small = CustomStrategy(
+        name="short_first",
+        ordering_fn=lambda it: [F.length("canonical_url").asc(), F.col("seq").asc()],
+        score_expr=1.0 / (F.length("canonical_url") + 1.0),
+        link_filter=~F.col("canonical_url").contains("/logout"),
+        pandas_order_fn=lambda it: (F.length("canonical_url").cast("long"), F.col("seq")),
+    )
+    FrontierEngine(spark, wd, strategy=hot_small)
+
+``ordering_fn`` receives the iteration number (for per-iteration
+pseudo-random orders); ``link_filter`` is applied to extracted links after
+canonicalization (columns available: url, canonical_url, host, depth) —
+frontera's ``filter_extracted_links``; ``pandas_order_fn`` must return TWO
+ascending sort columns and is only required when the strategy is used with
+the politeness scheduler's pandas walk.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable, Optional
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,6 +64,62 @@ class Strategy:
         if self.name in ("dfs", "lifo"):
             return 1.0 - 1.0 / (F.col("depth") + 2.0)
         raise ValueError(self.name)
+
+    def filter_links(self, df: DataFrame) -> DataFrame:
+        """``filter_extracted_links`` hook (P6) — default: pass-through."""
+        return df
+
+    def pandas_order(self, iteration: int = 0) -> tuple[Column, Column]:
+        """Two ASCENDING sort columns equivalent to :meth:`ordering` — the
+        politeness walk sorts pandas frames by these (strategy-agnostic)."""
+        if self.name == "fifo":
+            return F.lit(0).cast("long"), F.col("seq")
+        if self.name == "lifo":
+            return F.lit(0).cast("long"), -F.col("seq")
+        if self.name == "bfs":
+            return F.col("depth").cast("long"), F.col("seq")
+        if self.name == "dfs":
+            return -F.col("depth").cast("long"), F.col("seq")
+        if self.name == "random":
+            return (
+                F.xxhash64(F.col("canonical_url"), F.lit(iteration)),
+                F.lit(0).cast("long"),
+            )
+        raise ValueError(self.name)
+
+
+@dataclass(frozen=True)
+class CustomStrategy(Strategy):
+    """User-defined strategy: ordering + score (+ optional link filter)."""
+
+    name: str = "custom"
+    ordering_fn: Optional[Callable[[int], list[Column]]] = None
+    score_expr: Optional[Column] = None
+    link_filter: Optional[Column] = None
+    pandas_order_fn: Optional[Callable[[int], tuple[Column, Column]]] = None
+
+    def ordering(self, iteration: int = 0) -> list[Column]:
+        if self.ordering_fn is None:
+            raise ValueError(f"CustomStrategy {self.name!r} needs ordering_fn")
+        return self.ordering_fn(iteration)
+
+    def score(self) -> Column:
+        if self.score_expr is None:
+            return 1.0 / (F.col("depth") + 1.0)
+        return self.score_expr
+
+    def filter_links(self, df: DataFrame) -> DataFrame:
+        if self.link_filter is None:
+            return df
+        return df.filter(self.link_filter)
+
+    def pandas_order(self, iteration: int = 0) -> tuple[Column, Column]:
+        if self.pandas_order_fn is None:
+            raise ValueError(
+                f"CustomStrategy {self.name!r} needs pandas_order_fn for the "
+                "politeness scheduler"
+            )
+        return self.pandas_order_fn(iteration)
 
 
 STRATEGIES = {n: Strategy(n) for n in ("fifo", "lifo", "bfs", "dfs", "random")}

@@ -172,3 +172,42 @@ def test_min_hosts_min_requests_floors(spark, tmp_path):
         got = [r.canonical_url for r in batch.orderBy("seq").collect()]
         batch.unpersist()
         assert got == exp, f"{name}: {got} != {exp}"
+
+
+def test_custom_strategy_defined_outside_engine(spark, tmp_path):
+    """E1/P6 extension surface: a user-defined strategy (ordering = shortest
+    canonical URL first, score = f(url length), link filter dropping '/skip'
+    URLs) built OUTSIDE the engine module reproduces the oracle sequence and
+    seen set."""
+    from pyspark.sql import functions as F
+
+    from frontera_spark.core.strategies import CustomStrategy
+
+    graph = {
+        f"{H1}/r": [f"{H1}/aaaaaa", f"{H1}/bb", f"{H1}/skip/x"],
+        f"{H1}/bb": [f"{H1}/c", f"{H1}/skip/y", f"{H2}/dddd"],
+        f"{H1}/aaaaaa": [f"{H1}/c", f"{H1}/e"],
+    }
+    short_first = CustomStrategy(
+        name="short_first",
+        ordering_fn=lambda it: [
+            F.length("canonical_url").asc(), F.col("seq").asc(),
+        ],
+        score_expr=1.0 / (F.length("canonical_url") + 1.0),
+        link_filter=~F.col("canonical_url").contains("/skip"),
+    )
+    eng = FrontierEngine(
+        spark, str(tmp_path / "eng_custom"), n_partitions=1, strategy=short_first
+    )
+    got_order, got_states = run_crawl(eng, graph, [f"{H1}/r"], 2)
+
+    exp_order, exp_states = crawl_sequence(
+        graph,
+        [f"{H1}/r"],
+        strategy=lambda url, depth, seq: (len(url), seq),
+        max_next_requests=2,
+        link_filter=lambda url, depth: "/skip" not in url,
+    )
+    assert got_order == exp_order
+    assert got_states == exp_states
+    assert all("/skip" not in u for u in got_states)
