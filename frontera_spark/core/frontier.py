@@ -131,6 +131,20 @@ class FrontierEngine:
         """The exact URL-seen set: (fingerprint, canonical_url, state)."""
         return self.table.read().select("fingerprint", "canonical_url", "state")
 
+    def pending_counts(self) -> dict[int, int]:
+        """In-flight backlog per partition: rows marked into a feed batch but
+        not yet crawled (the offset-lag analogue — frontera's OffsetsFetcher
+        feeds the DBWorker batch generator the consumer lag per spider-feed
+        partition, kafkabus.py:~250-330 / worker/db.py:~150-220)."""
+        rows = (
+            self.table.read()
+            .filter((F.col("state") == STATE_QUEUED) & F.col("batch_id").isNotNull())
+            .groupBy("partition_id")
+            .count()
+            .collect()
+        )
+        return {int(r["partition_id"]): int(r["count"]) for r in rows}
+
     # ------------------------------------------------------------- scheduling
 
     def _prepare(self, links: DataFrame) -> DataFrame:
@@ -330,6 +344,7 @@ class FrontierEngine:
         mark: bool = True,
         min_requests: int | None = None,
         min_hosts: int | None = None,
+        max_pending: int | None = None,
     ) -> DataFrame:
         """Destructive top-k pop (T1): returns the feed batch and marks rows.
 
@@ -353,6 +368,12 @@ class FrontierEngine:
         the frontier. Floors apply per consumer group (globally in 'global'
         mode, per partition in 'per_partition' mode, matching the
         per-partition DBWorker batch generator).
+
+        ``max_pending`` is the backpressure gate (X4/A5, frontera's
+        offset-lag flow control): partitions whose in-flight backlog
+        (marked-but-uncrawled rows) has reached the threshold produce no new
+        feed rows this pop — the DBWorker only generates batches for
+        partitions whose consumers caught up.
         """
         iteration = self.iteration + 1
         # revisiting (frontera/contrib/backends/sqlalchemy/revisiting.py):
@@ -364,6 +385,11 @@ class FrontierEngine:
             & F.col("batch_id").isNull()
             & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
         )
+        if max_pending is not None:
+            lag = self.pending_counts()  # one P-row metadata-cheap collect
+            over = [pid for pid, n in lag.items() if n >= max_pending]
+            if over:
+                cand = cand.filter(~F.col("partition_id").isin(over))
         order = self.strategy.ordering(iteration)
         if max_per_host is not None:
             # hot-host skew (SURVEY.md Q7): a single per-host window would

@@ -106,3 +106,29 @@ def test_canonical_solver_dedups_redirect_aliases(spark, tmp_path):
     urls2 = {r.canonical_url for r in eng2.table.read().collect()}
     # chain 1 → site root; chain 2 has no root → Basic (first hop)
     assert urls2 == {"https://a.example.test/", "https://b.example.test/deep"}
+
+
+def test_backpressure_gate_skips_lagging_partitions(spark, tmp_path):
+    """X4/A5: partitions with in-flight backlog >= max_pending produce no new
+    feed rows until their consumers catch up (frontera offset-lag gate)."""
+    eng = FrontierEngine(spark, str(tmp_path / "eng_bp"), n_partitions=2, strategy="fifo")
+    eng.add_seeds(_urls(spark, 0, 20))
+    # mark a batch in-flight, never crawl it
+    b1 = eng.get_next_requests(6, mode="per_partition")
+    lag_pids = {r.partition_id for r in b1.collect()}
+    b1.unpersist()
+    assert eng.pending_counts() and set(eng.pending_counts()) == lag_pids
+
+    # gated pop: lagging partitions are excluded
+    b2 = eng.get_next_requests(6, mode="per_partition", max_pending=1)
+    got_pids = {r.partition_id for r in b2.collect()}
+    b2.unpersist()
+    assert got_pids.isdisjoint(lag_pids)
+
+    # consumer catches up → partition produces again
+    b1b = eng.table.read().filter(F.col("batch_id").isNotNull())
+    eng.page_crawled(b1b)
+    assert eng.pending_counts() == {}
+    b3 = eng.get_next_requests(6, mode="per_partition", max_pending=1)
+    assert b3.count() > 0
+    b3.unpersist()
