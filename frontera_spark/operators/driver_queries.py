@@ -1198,6 +1198,165 @@ WHERE hamming <= 3
 """
 
 
+# ----------------------------------- X5: single-tick politeness decision model
+
+
+def q_politeness_tick(spark, sf_dir):
+    """Token-bucket scheduler decision at one tick, as window SQL: queued
+    rows (seq = doc_id, host = doc_id%31) under per-host allowance
+    min(token_cap=8, budget = host_num%5) and a global batch cap of 100 —
+    served = per-host allowance-prefix ∩ global take-prefix, exactly the
+    PoliteScheduler walk's outcome for a single tick (full buckets at t=0).
+    The multi-tick stateful loop is pinned by tests/test_politeness.py
+    oracle parity; this pins the one-tick decision against DuckDB."""
+    host_num = F.col("doc_id") % 31
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("seq"),
+        _host().alias("host"),
+        F.least(F.lit(8), host_num % 5).alias("allow"),
+    )
+    wh = Window.partitionBy("host").orderBy("seq")
+    capped = base.withColumn("rh", F.row_number().over(wh)).filter(
+        F.col("rh") <= F.col("allow")
+    )
+    wg = Window.orderBy("seq")
+    return (
+        capped.withColumn("rn", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("rn") <= 100)
+        .select("seq", "host", "rn")
+    )
+
+
+SQL_POLITENESS_TICK = f"""
+WITH base AS (
+  SELECT doc_id AS seq, {_HOST_SQL} AS host,
+         LEAST(8, (doc_id % 31) % 5) AS allow
+  FROM documents),
+capped AS (
+  SELECT * FROM (
+    SELECT seq, host, allow,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY seq) AS rh
+    FROM base) WHERE rh <= allow)
+SELECT seq, host, rn FROM (
+  SELECT seq, host, ROW_NUMBER() OVER (ORDER BY seq) AS rn FROM capped)
+WHERE rn <= 100
+"""
+
+
+# --------------------------------------------- X7: job-epoch fencing counters
+
+
+def q_fencing_filter(spark, sf_dir):
+    """Epoch fencing outcome: results stamped with jid = user_id % 3 arriving
+    at an engine with jid = 1 — kept/dropped counts per epoch (frontera's
+    meta[b'jid'] check in worker/strategy.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("int").alias("jid")
+    )
+    return ev.groupBy("jid").agg(
+        F.count("*").alias("n_results"),
+        F.count(F.when(F.col("jid") == 1, 1)).alias("n_applied"),
+        F.count(F.when(F.col("jid") != 1, 1)).alias("n_fenced"),
+    )
+
+
+SQL_FENCING_FILTER = """
+SELECT CAST(user_id % 3 AS INTEGER) AS jid, COUNT(*) AS n_results,
+       COUNT(CASE WHEN user_id % 3 = 1 THEN 1 END) AS n_applied,
+       COUNT(CASE WHEN user_id % 3 <> 1 THEN 1 END) AS n_fenced
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------- M6: bloom/cuckoo shard behavior (rows-only entry)
+
+
+def q_bloom_shard_stats(spark, sf_dir):
+    """Seen-shard classification over real bloom+cuckoo shards (rows-only —
+    bloom bit arrays aren't SQL-expressible): fingerprints of doc_id%3==0
+    docs are committed to per-partition shards; all docs are then probed.
+    Deterministic: same hashes → same bits → same counts every run. Checks
+    the north-rule wiring: no false negatives (every seen fp is 'maybe'),
+    and the definitely-new majority skips the exact join."""
+    import tempfile
+
+    from frontera_spark.core.seen import SeenShards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.xxhash64(_url()).alias("fingerprint"),
+        (F.col("doc_id") % 4).cast("int").alias("partition_id"),
+    )
+    shards = SeenShards(tempfile.mkdtemp(prefix="bloomstats_"), capacity=1 << 12)
+    shards.add(docs.filter(F.col("doc_id") % 3 == 0).select("partition_id", "fingerprint"))
+    maybe = shards.maybe_seen(docs).select("fingerprint").withColumn(
+        "maybe", F.lit(True)
+    )
+    joined = docs.join(maybe, "fingerprint", "left")
+    return (
+        joined.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.count(F.when(F.col("maybe"), 1)).alias("n_maybe"),
+            F.count(F.when(F.col("maybe").isNull(), 1)).alias("n_definitely_new"),
+            F.count(F.when(F.col("maybe") & (F.col("doc_id") % 3 == 0), 1)).alias(
+                "n_true_seen"
+            ),
+            # north-rule invariant: a committed fingerprint is NEVER
+            # classified definitely-new (bloom has no false negatives)
+            F.count(
+                F.when(F.col("maybe").isNull() & (F.col("doc_id") % 3 == 0), 1)
+            ).alias("n_false_negatives"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+# --------------------- M2: snapshot lineage counters (rows-only entry)
+
+
+def q_snapshot_lineage(spark, sf_dir):
+    """Per-partition lineage counters across MERGE commits (rows-only — the
+    manifest is engine state, not SQL): create a table from documents,
+    upsert a score bump for doc_id%5==0 rows plus 100 fresh rows, and
+    return each partition's row count at snapshot 1 vs 2 — copy-on-write
+    must keep untouched partitions' counters identical."""
+    import tempfile
+
+    from frontera_spark.plans.snapshot import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 4).cast("int").alias("partition_id"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="lineage_") + "/t",
+        "doc_id bigint, partition_id int, score double",
+        key=["doc_id"],
+    )
+    t.upsert(docs)
+    c1 = t.counters()
+    bump = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "score", F.col("score") + 1.0
+    )
+    fresh = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.lit(2).cast("int").alias("partition_id"),
+        F.col("score"),
+    ).limit(100)
+    t.upsert(bump.unionByName(fresh))
+    c2 = t.counters()
+    rows = [
+        (int(p), int(c1.get(p, 0)), int(c2.get(p, 0)))
+        for p in sorted(set(c1) | set(c2), key=int)
+    ]
+    return spark.createDataFrame(
+        rows, "partition_id int, rows_snap1 bigint, rows_snap2 bigint"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1231,4 +1390,10 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
+    "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
+    "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
+    # rows-only (engine-internal state: bloom bits / snapshot manifests are
+    # not SQL-expressible; driver records the weaker rows-only check)
+    "bloom_shard_stats": (q_bloom_shard_stats, None),
+    "snapshot_lineage": (q_snapshot_lineage, None),
 }
