@@ -17,6 +17,7 @@ JVM-side.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, quote, unquote, urlencode, urlsplit, urlunsplit
 
 import pandas as pd
@@ -68,10 +69,26 @@ def canonicalize_url(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Already-canonical fast path: URLs matching this are FIXED POINTS of
+# canonicalize_url — lowercase scheme+host, no port/userinfo/trailing-dot
+# host, non-empty path of characters quote() keeps verbatim (no %), no
+# query (nothing to sort), no fragment. One vectorized C-regex pass skips
+# the per-URL Python for them; in a real crawl the vast majority of links
+# are already canonical. Pinned by test_fast_path_is_fixed_point.
+_ALREADY_CANONICAL_RE = re.compile(
+    r"[a-z][a-z0-9+.\-]*://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[A-Za-z0-9!$&'()*+,;=:@~._/\-]*"
+)
+
+
 @pandas_udf(StringType())
 def canonicalize_urls_udf(urls: pd.Series) -> pd.Series:
-    """Vectorized canonicalizer (Arrow-batched)."""
-    return urls.map(canonicalize_url)
+    """Vectorized canonicalizer (Arrow-batched, fast path for fixed points)."""
+    fast = urls.str.fullmatch(_ALREADY_CANONICAL_RE).fillna(False)
+    if fast.all():
+        return urls
+    out = urls.copy()
+    out[~fast] = urls[~fast].map(canonicalize_url)
+    return out
 
 
 def parse_domain_info(url: str) -> dict:

@@ -1,0 +1,98 @@
+"""Structured-Streaming ingestion (S6's sandbox-testable half).
+
+frontera's Kafka bus (frontera/contrib/messagebus/kafkabus.py:~1-330) feeds
+the workers three streams; the deterministic micro-batch loop replaces the
+bus in-engine (SURVEY.md §1.5). This module is the *streaming front door*
+for the two inbound streams, built on public Structured Streaming only:
+
+- ``stream_seeds``: a file-source stream of seed lists (one URL per line,
+  new files appear as crawls are commissioned) → ``foreachBatch`` →
+  ``FrontierEngine.add_seeds``. The engine's exact seen-set makes redelivery
+  idempotent, so end-to-end semantics are exactly-once even though the file
+  source is at-least-once after checkpoint recovery.
+- ``stream_results``: a file-source stream of spider-log JSON messages
+  (codecs.RESULT_MSG_SCHEMA — what an external spider fleet posts) →
+  decode → ``page_crawled`` + ``links_extracted`` per micro-batch.
+
+Swapping the file source for ``format("kafka")`` (with codecs' key/value
+shape) is a config change: foreachBatch bodies are source-agnostic.
+Checkpointing is Spark's own (offset log in ``checkpoint_dir``) layered on
+the engine's snapshot resume — a replayed micro-batch MERGEs the same rows
+to the same states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frontera_spark.core.frontier import FrontierEngine
+from frontera_spark.streaming.codecs import decode_results
+
+
+def stream_seeds(
+    engine: FrontierEngine,
+    source_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream seed files into the frontier; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``source_dir`` and
+    stops (the batch-friendly trigger); pass False for a continuous 10s
+    micro-batch trigger.
+    """
+    lines = engine.spark.readStream.format("text").load(source_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        seeds = (
+            batch_df.withColumn("seq", F.monotonically_increasing_id())
+            .select(F.trim("value").alias("url"), "seq")
+            .filter(F.col("url") != "")
+        )
+        engine.add_seeds(seeds)
+
+    writer = lines.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def stream_results(
+    engine: FrontierEngine,
+    source_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream spider-log JSON messages (external fleet → engine): mark pages
+    crawled and schedule their extracted links, one MERGE set per
+    micro-batch."""
+    raw = engine.spark.readStream.format("text").load(source_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        results = decode_results(batch_df.select(F.col("value"))).cache()
+        ok = results.filter(F.col("status_code") < 400)
+        err = results.filter(F.col("status_code") >= 400)
+        engine.page_crawled(ok)
+        if not err.isEmpty():
+            engine.request_error(err)
+        links = ok.select(
+            F.col("seq").alias("parent_seq"),
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode("out_links").alias("link_pos", "url"),
+        ).select("url", "parent_seq", "link_pos", "depth")
+        engine.links_extracted(links)
+        results.unpersist()
+
+    writer = raw.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

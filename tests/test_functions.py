@@ -127,3 +127,40 @@ def test_spark_parity(spark):
         assert r.host is not None, r.url
         assert r.crc == crc32_signed(r.host)
         assert r.pid == crc32_signed(r.host) % 8
+
+
+def test_fast_path_is_fixed_point():
+    """Every URL matching _ALREADY_CANONICAL_RE must be a fixed point of
+    canonicalize_url (the vectorized UDF returns such rows unchanged)."""
+    import random
+    import string
+
+    from frontera_spark.functions.urls import _ALREADY_CANONICAL_RE
+
+    rng = random.Random(42)
+    path_chars = string.ascii_letters + string.digits + "!$&'()*+,;=:@~._/-"
+    host_chars = string.ascii_lowercase + string.digits + "-"
+    checked = 0
+    for _ in range(5000):
+        host = ".".join(
+            "".join(rng.choice(host_chars) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 3))
+        )
+        path = "/" + "".join(rng.choice(path_chars) for _ in range(rng.randint(0, 20)))
+        url = f"{rng.choice(['http', 'https', 'ftp'])}://{host}{path}"
+        if _ALREADY_CANONICAL_RE.fullmatch(url):
+            assert canonicalize_url(url) == url, url
+            checked += 1
+    assert checked > 4000  # the generator really exercises the fast path
+
+    # URLs the canonicalizer would rewrite must never match the fast regex
+    # (the regex may conservatively exclude some fixed points — that only
+    # costs speed, never correctness)
+    for messy in [
+        "HTTPS://Host.Example/p", "https://h.example.test/p?b=2&a=1",
+        "https://h.example.test/p#frag", "https://h.example.test/%41",
+        "https://h.example.test", "https://h.example.test:443/p",
+        "https://user@h.example.test/p", " https://h.example.test/p",
+        "https://h.example.test./p",
+    ]:
+        assert not _ALREADY_CANONICAL_RE.fullmatch(messy), messy

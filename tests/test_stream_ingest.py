@@ -1,0 +1,82 @@
+"""Structured-Streaming front door (S6 half): file-source seed + spider-log
+streams drain into the engine with exactly-once effects (exact seen set +
+Spark checkpoint offsets)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from frontera_spark import STATE_CRAWLED, STATE_QUEUED
+from frontera_spark.core.frontier import FrontierEngine
+from frontera_spark.streaming.stream_ingest import stream_results, stream_seeds
+
+
+def test_stream_seeds_drains_and_is_idempotent(spark, tmp_path):
+    src = tmp_path / "seeds_in"
+    src.mkdir()
+    (src / "batch1.txt").write_text("https://a.example.test/1\nhttps://a.example.test/2\n")
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+
+    q = stream_seeds(eng, str(src), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert eng.count(STATE_QUEUED) == 2
+
+    # new file appears; old file is NOT reprocessed (checkpoint offsets),
+    # and a duplicate URL inside the new file dedups via the seen set
+    (src / "batch2.txt").write_text("https://b.example.test/3\nhttps://a.example.test/1\n")
+    q2 = stream_seeds(eng, str(src), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert eng.count(STATE_QUEUED) == 3
+
+    # fresh checkpoint (simulated redelivery of everything) → no duplicates
+    q3 = stream_seeds(eng, str(src), str(tmp_path / "ckpt2"))
+    q3.awaitTermination(120)
+    assert eng.count(STATE_QUEUED) == 3
+
+
+def test_stream_results_marks_and_schedules(spark, tmp_path):
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="bfs")
+    eng.add_seeds(
+        spark.createDataFrame(
+            [("https://a.example.test/p", 0), ("https://a.example.test/q", 1)],
+            "url string, seq int",
+        )
+    )
+    rows = {
+        (r.canonical_url): r for r in eng.table.read().collect()
+    }
+    src = tmp_path / "log_in"
+    src.mkdir()
+    msgs = []
+    for url, status in [("https://a.example.test/p", 200), ("https://a.example.test/q", 404)]:
+        r = rows[url]
+        msgs.append(
+            json.dumps(
+                {
+                    "type": "page_crawled",
+                    "fingerprint": r.fingerprint,
+                    "canonical_url": r.canonical_url,
+                    "host": r.host,
+                    "partition_id": r.partition_id,
+                    "seq": r.seq,
+                    "depth": r.depth,
+                    "jid": 0,
+                    "status_code": status,
+                    "out_links": ["https://b.example.test/new"] if status == 200 else [],
+                }
+            )
+        )
+    (src / "log1.jsonl").write_text("\n".join(msgs) + "\n")
+
+    q = stream_results(eng, str(src), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    states = {r.canonical_url: r.state for r in eng.table.read().collect()}
+    assert states["https://a.example.test/p"] == STATE_CRAWLED
+    from frontera_spark import STATE_ERROR
+
+    assert states["https://a.example.test/q"] == STATE_ERROR
+    assert states["https://b.example.test/new"] == STATE_QUEUED  # link scheduled
+    new_row = eng.table.read().filter(F.col("canonical_url") == "https://b.example.test/new")
+    assert new_row.collect()[0].depth == 1
