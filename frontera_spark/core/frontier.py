@@ -75,6 +75,7 @@ class FrontierEngine:
         shard_capacity: int = 1 << 20,
         host_salts: int = 16,
         canonical_solver: str = "basic",
+        middlewares: list | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -88,6 +89,12 @@ class FrontierEngine:
         from frontera_spark.functions.canonical import SOLVERS
 
         self.canonical_solver = SOLVERS[canonical_solver]
+        # middleware chain (E2): ordered DataFrame→DataFrame transforms run
+        # on every seed/link batch after canonicalization (frontera's
+        # add_seeds/links_extracted pass-through chain, core/manager.py
+        # pipeline) — the built-in fingerprint/domain projections stay
+        # engine-side, exactly like frontera's default middleware stack
+        self.middlewares = list(middlewares or [])
         path = os.path.join(workdir, "frontier")
         if os.path.exists(os.path.join(path, "CURRENT")):
             self.table = SnapshotTable.load(spark, path)
@@ -182,6 +189,10 @@ class FrontierEngine:
         # strategy link predicate (P6, frontera filter_extracted_links):
         # runs after canonicalization so it can see url/canonical_url/host/depth
         df = self.strategy.filter_links(df)
+        # user middleware chain (E2); contract: receive and return a
+        # DataFrame with at least (url, canonical_url, host, depth, _o1, _o2)
+        for mw in self.middlewares:
+            df = mw(df)
         df = (
             df.withColumn("fingerprint", fingerprint64_col(F.col("canonical_url")))
             .withColumn("host_crc32", crc32_signed_col(F.col("host")))
@@ -238,6 +249,14 @@ class FrontierEngine:
             "state",
             F.coalesce(state, F.lit(STATE_QUEUED)) if self.robots_deny_hosts else F.lit(STATE_QUEUED),
         )
+        # materialize the anti-join once; the all-duplicates case (steady-
+        # state re-offers) exits before paying the range-partitioner's
+        # sampling pass and the offsets machinery below
+        fresh = fresh_cache = fresh.cache()
+        if fresh.isEmpty() and not self.robots_deny_hosts:
+            fresh.unpersist()
+            candidates.unpersist()
+            return 0
         # seq allocation = exact global discovery order (_o1,_o2) WITHOUT a
         # single-partition sort: range-repartition on the order key (range
         # partitions are assigned in sorted order → global order = (partition,
@@ -289,6 +308,7 @@ class FrontierEngine:
         if n_queued == 0 and not self.robots_deny_hosts:
             # everything deduped out: nothing to merge, no new snapshot
             ranged.unpersist()
+            fresh_cache.unpersist()
             candidates.unpersist()
             return 0
         # ``pids`` (all candidate partitions) over-approximates the touched
@@ -306,6 +326,7 @@ class FrontierEngine:
             self.seen.add(candidates.select("partition_id", "fingerprint"))
             self.seen.commit(gen)
         ranged.unpersist()
+        fresh_cache.unpersist()
         candidates.unpersist()
         return n_queued
 

@@ -1,0 +1,185 @@
+"""Multimodal column operators: image / audio / video payloads as opaque
+``binary`` columns with typed metadata (builder-brief requirement; frontera
+is payload-agnostic — SURVEY.md §0 — so these have no reference citation).
+
+Design for 100 TB of media:
+- payloads stay ``binary`` columns; every op is an Arrow-batched
+  ``mapInPandas`` stage with a FIXED output DDL (schema drift is a pipeline
+  outage at scale);
+- ``bytes`` is selected only by the op that needs it and dropped from the
+  output unless the op's product IS bytes (column pruning keeps payloads out
+  of every other scan — same rule as the fetch stage);
+- Arrow batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (session.py sets 2048) so a batch of 64 KB images stays ~128 MB.
+
+Real vs stubbed: PNG decode, block-mean resize, and perceptual hash are REAL
+(pure numpy+zlib — sources/png.py). General image codecs (JPEG/WebP), audio
+decode, and video demuxing need libraries this container does not ship
+(PIL/ffmpeg absent — SURVEY.md §7.3 M0), so those decoders are STUBS: the
+Spark-side plumbing (schemas, batch shapes, explode semantics, partitioning)
+is real and tested against deterministic fakes, and each stub raises
+``NotImplementedError`` for formats it cannot honestly fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODE_STATS_SCHEMA = (
+    "image_id string, w int, h int, fmt string, decoded_w int, decoded_h int, "
+    "mean_luma double, channels int, decode_ok boolean"
+)
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+PHASH_SCHEMA = "image_id string, phash long, phash_recomputed long, phash_match boolean"
+
+FRAME_SCHEMA = "image_id string, frame_idx int, frame_bytes binary, w int, h int"
+
+AUDIO_FEATURES_SCHEMA = (
+    "image_id string, n_bytes int, rms double, zero_crossings long, "
+    "spectral_centroid double"
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """bytes → decoded-pixel stats (REAL for png/qpng; other fmts raise).
+
+    The per-row invariant pipeline's building block: decoded dimensions must
+    match the metadata columns, mean luminance is the cheap content
+    fingerprint downstream quality filters use."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, raw, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                if fmt not in ("png", "qpng"):
+                    raise NotImplementedError(
+                        f"decode_images: no decoder for fmt={fmt!r} in this "
+                        "container (PIL/libvips absent); png/qpng only"
+                    )
+                try:
+                    px = decode_png(bytes(raw))
+                    luma = float(px.astype(np.float64).mean())
+                    rows.append((iid, w, h, fmt, px.shape[1], px.shape[0], luma, px.shape[2], True))
+                except Exception:
+                    rows.append((iid, w, h, fmt, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "fmt", "decoded_w", "decoded_h",
+                    "mean_luma", "channels", "decode_ok",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, DECODE_STATS_SCHEMA
+    )
+
+
+def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Block-mean resize to (out_w, out_h), re-encoded PNG (REAL)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_png(bytes(raw))
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = px[np.ix_(yi, xi)]
+                rows.append((iid, encode_png(small), out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df.select("image_id", "bytes").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def compute_phash(df: DataFrame) -> DataFrame:
+    """Recompute the 64-bit perceptual hash from bytes and compare with the
+    stored ``phash`` column (REAL — the image-near-dup key;
+    operators/driver_queries.q_phash_neardup_pairs is the join that consumes
+    it at scale)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.corpus import phash_of
+        from frontera_spark.sources.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, raw, stored in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+                ph = phash_of(decode_png(bytes(raw)))
+                rows.append((iid, stored, ph, int(stored) == ph))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "phash", "phash_recomputed", "phash_match"]
+            )
+
+    return df.select("image_id", "bytes", "phash").mapInPandas(fn, PHASH_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 2, n_frames: int = 6) -> DataFrame:
+    """STUB (video demux): one input row → one output row per sampled frame.
+
+    No video codec ships in this container, so the "video" is a
+    deterministic fake — frame k is the payload image rolled k rows — but
+    everything Spark-side is the real design: the explode-in-pandas batch
+    shape (a 1→N mapInPandas, NOT a driver loop), fixed frame DDL, and
+    payload-only column selection. Swapping the fake for
+    ``av``/``ffmpeg`` touches only the inner loop."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_png(bytes(raw))
+                for k in range(0, n_frames, every_n):
+                    frame = np.roll(px, shift=k, axis=0)
+                    rows.append(
+                        (iid, k, encode_png(frame), frame.shape[1], frame.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "frame_idx", "frame_bytes", "w", "h"]
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(fn, FRAME_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """STUB (audio decode): byte-stream features with the real op shape.
+
+    No audio library is available, so the payload bytes are treated as a
+    raw 8-bit mono signal — deterministic, and the feature set (RMS,
+    zero-crossing count, spectral centroid via rFFT) is the standard one a
+    real decoder would feed. Plumbing (schema, batching, pruning) is real;
+    replace the byte view with a real PCM decode to productionize."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                sig = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
+                sig = (sig - 128.0) / 128.0
+                rms = float(np.sqrt((sig**2).mean())) if len(sig) else 0.0
+                zc = int(((sig[:-1] * sig[1:]) < 0).sum()) if len(sig) > 1 else 0
+                spec = np.abs(np.fft.rfft(sig))
+                tot = float(spec.sum())
+                cent = float((spec * np.arange(len(spec))).sum() / tot) if tot > 0 else 0.0
+                rows.append((iid, len(raw), rms, zc, cent))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "n_bytes", "rms", "zero_crossings", "spectral_centroid"],
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

@@ -34,6 +34,7 @@ DEFAULT_SETTINGS: dict[str, Any] = {
     "SPIDER_FEED_PARTITIONS": 8,        # = n_partitions (Crc32NamePartitioner)
     "CRAWLING_STRATEGY": "bfs",         # name or frontera-style object path
     "CANONICAL_SOLVER": "basic",        # 'basic' | 'corporate'
+    "MIDDLEWARES": (),                  # dotted paths / callables (E2 chain)
     "MAX_DEPTH": None,
     "MAX_URL_LENGTH": 2048,
     "ROBOTS_DENY_HOSTS": (),
@@ -154,4 +155,5 @@ def engine_from_settings(spark, workdir: str, settings: Settings):
         shard_capacity=int(settings.SHARD_CAPACITY),
         host_salts=int(settings.HOST_SALTS),
         canonical_solver=settings.CANONICAL_SOLVER,
+        middlewares=[load_object(m) for m in (settings.MIDDLEWARES or ())],
     )

@@ -132,3 +132,39 @@ def test_backpressure_gate_skips_lagging_partitions(spark, tmp_path):
     b3 = eng.get_next_requests(6, mode="per_partition", max_pending=1)
     assert b3.count() > 0
     b3.unpersist()
+
+
+def test_middleware_chain(spark, tmp_path):
+    """E2: user middlewares run in order on every seed/link batch after
+    canonicalization (frontera's add_seeds/links_extracted chain)."""
+    calls = []
+
+    def tag_depth(df):
+        calls.append("tag_depth")
+        return df.withColumn(
+            "depth", F.when(F.col("host") == "b.example.test", 5).otherwise(F.col("depth"))
+        )
+
+    def drop_admin(df):
+        calls.append("drop_admin")
+        return df.filter(~F.col("canonical_url").contains("/admin"))
+
+    eng = FrontierEngine(
+        spark, str(tmp_path / "eng_mw"), n_partitions=1, strategy="bfs",
+        middlewares=[tag_depth, drop_admin],
+    )
+    n = eng.add_seeds(
+        spark.createDataFrame(
+            [
+                ("https://a.example.test/p", 0),
+                ("https://b.example.test/q", 1),
+                ("https://a.example.test/admin/x", 2),
+            ],
+            "url string, seq int",
+        )
+    )
+    assert n == 2  # /admin dropped by middleware
+    assert calls == ["tag_depth", "drop_admin"]
+    depths = {r.canonical_url: r.depth for r in eng.table.read().collect()}
+    assert depths["https://b.example.test/q"] == 5
+    assert depths["https://a.example.test/p"] == 0
