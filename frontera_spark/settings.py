@@ -129,6 +129,46 @@ class Settings:
         return dict(self._store)
 
 
+def loop_from_settings(spark, workdir: str, corpus_path: str, settings: Settings, **extra):
+    """Build a CrawlLoop from a Settings object — the frontera
+    ``Settings``-driven worker entry points, collapsed onto the one engine."""
+    from frontera_spark.core.strategies import STRATEGIES, Strategy
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    strat = settings.CRAWLING_STRATEGY
+    strategy_obj = None
+    if isinstance(strat, Strategy):
+        strategy_obj, strat = strat, strat.name
+    elif isinstance(strat, str) and strat not in STRATEGIES:
+        strategy_obj = load_object(strat)
+        if isinstance(strategy_obj, type):
+            strategy_obj = strategy_obj()
+        strat = strategy_obj.name
+    return CrawlLoop(
+        spark,
+        workdir,
+        corpus_path,
+        corpus_seed=int(settings.CORPUS_SEED),
+        strategy=strat,
+        strategy_obj=strategy_obj,
+        batch_size=int(settings.MAX_NEXT_REQUESTS),
+        max_per_host=settings.BC_MAX_REQUESTS_PER_HOST,
+        n_partitions=int(settings.SPIDER_FEED_PARTITIONS),
+        mode=settings.SCHEDULE_MODE,
+        check_invariant=bool(settings.CHECK_INVARIANT),
+        robots_deny_hosts=frozenset(settings.ROBOTS_DENY_HOSTS or ()),
+        max_depth=settings.MAX_DEPTH,
+        batch_period=float(settings.BATCH_PERIOD),
+        token_cap=float(settings.TOKEN_CAP),
+        min_requests=settings.BC_MIN_REQUESTS,
+        min_hosts=settings.BC_MIN_HOSTS,
+        max_pending=settings.MAX_PENDING,
+        middlewares=[load_object(m) for m in (settings.MIDDLEWARES or ())],
+        canonical_solver=settings.CANONICAL_SOLVER,
+        **extra,
+    )
+
+
 def engine_from_settings(spark, workdir: str, settings: Settings):
     """Build a FrontierEngine from a Settings object (frontera
     ``FrontierManager.from_settings`` parity)."""

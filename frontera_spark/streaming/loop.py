@@ -162,6 +162,12 @@ class CrawlLoop:
         politeness: DataFrame | None = None,
         batch_period: float = 1.0,
         token_cap: float = 8.0,
+        min_requests: int | None = None,
+        min_hosts: int | None = None,
+        max_pending: int | None = None,
+        strategy_obj=None,
+        middlewares: list | None = None,
+        canonical_solver: str = "basic",
     ):
         self.spark = spark
         self.workdir = workdir
@@ -170,13 +176,18 @@ class CrawlLoop:
         self.max_per_host = max_per_host
         self.mode = mode
         self.check_invariant = check_invariant
+        self.min_requests = min_requests
+        self.min_hosts = min_hosts
+        self.max_pending = max_pending
         self.engine = FrontierEngine(
             spark,
             workdir,
             n_partitions=n_partitions,
-            strategy=strategy,
+            strategy=strategy_obj if strategy_obj is not None else strategy,
             robots_deny_hosts=robots_deny_hosts,
             max_depth=max_depth,
+            canonical_solver=canonical_solver,
+            middlewares=middlewares,
         )
         self.corpus = spark.read.parquet(corpus_path)
         self.metrics_dir = os.path.join(workdir, "metrics")
@@ -229,7 +240,12 @@ class CrawlLoop:
             )
         else:
             feed = self.engine.get_next_requests(
-                self.batch_size, max_per_host=self.max_per_host, mode=self.mode
+                self.batch_size,
+                max_per_host=self.max_per_host,
+                mode=self.mode,
+                min_requests=self.min_requests,
+                min_hosts=self.min_hosts,
+                max_pending=self.max_pending,
             )
         iteration = self.engine.iteration
         if feed.isEmpty():

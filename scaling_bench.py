@@ -248,7 +248,13 @@ def outer(leg_files: list[str] | None = None) -> None:
 
 
 def _update_bench_md(out: dict) -> None:
+    # one autogen section per core pair, so the mandated local[8]→local[32]
+    # table and the in-capacity local[2]→local[8] table coexist in BENCH.md
     lo, hi = CORES
+    begin, end = (
+        f"<!-- SCALING_AUTOGEN_{lo}_{hi}_BEGIN -->",
+        f"<!-- SCALING_AUTOGEN_{lo}_{hi}_END -->",
+    )
     rlo, rhi = out["runs"][lo], out["runs"][hi]
     hw = out.get("hardware_ceiling", {})
     hw_rows = "\n".join(
@@ -256,7 +262,7 @@ def _update_bench_md(out: dict) -> None:
         for k, v in hw.items()
     )
     evc = out.get("efficiency_vs_ceiling", {})
-    section = f"""<!-- SCALING_AUTOGEN_BEGIN -->
+    section = f"""{begin}
 ## Scaling efficiency (N → 4N proxy: local[{lo}] vs local[{hi}])
 
 Same jobs, same inputs ({out['n_urls']:,} URLs / {out['n_images']:,} images), fixed
@@ -280,14 +286,19 @@ each executor brings its own memory bandwidth and JVM heap, so the
 ceiling does not travel. The in-capacity pair
 (`SPARK_GRAFT_SCALE_CORES=2,8 python scaling_bench.py`) is the clean N→4N
 evidence; this table documents the mandated {lo}→{hi} pair honestly.
-<!-- SCALING_AUTOGEN_END -->"""
+{end}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     body = ""
     if os.path.exists(path):
         body = open(path).read()
+        # migrate the legacy unkeyed section (pre-pair-keyed format) in place
         if "<!-- SCALING_AUTOGEN_BEGIN -->" in body:
             pre = body.split("<!-- SCALING_AUTOGEN_BEGIN -->")[0]
             post = body.split("<!-- SCALING_AUTOGEN_END -->")[-1]
+            body = pre + section + post
+        elif begin in body:
+            pre = body.split(begin)[0]
+            post = body.split(end)[-1]
             body = pre + section + post
         else:
             body = body.rstrip() + "\n\n" + section + "\n"

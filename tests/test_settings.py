@@ -63,3 +63,24 @@ def test_engine_from_settings(spark, tmp_path):
     )
     with pytest.raises(TypeError):
         engine_from_settings(spark, str(tmp_path / "eng2"), s2)  # dict, not Strategy
+
+
+def test_loop_from_settings(spark, tmp_path):
+    from frontera_spark.settings import loop_from_settings
+    from frontera_spark.sources.corpus import url_of, write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, 20, 5, 42)
+    s = Settings.from_params(
+        max_next_requests=8,
+        spider_feed_partitions=1,
+        crawling_strategy="bfs",
+        bc_min_hosts=2,
+        check_invariant=False,
+    )
+    loop = loop_from_settings(spark, str(tmp_path / "eng"), corpus, s)
+    assert loop.batch_size == 8
+    assert loop.min_hosts == 2
+    loop.add_seeds([url_of(0, 5)])
+    hist = loop.run(max_iterations=30)
+    assert sum(m["n_fetched"] for m in hist) == 20
