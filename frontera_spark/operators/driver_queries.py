@@ -1357,6 +1357,123 @@ def q_snapshot_lineage(spark, sf_dir):
     )
 
 
+# ------------------------- document fingerprinting: token rolling hash (Rabin-Karp)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: polynomial rolling hash (Rabin–Karp) over the
+    token stream — fp = fold((acc·131 + h(tok)) mod (2³¹−1)), h(tok) = the
+    first 28 bits of md5(tok). Order-SENSITIVE (unlike the tokenset/minhash
+    signatures): shuffled token order changes the fingerprint, so it detects
+    exact-sequence reuse. All arithmetic stays < 2⁴⁰, well inside int64 in
+    both engines (ANSI-safe). One narrow per-row projection — embarrassingly
+    parallel, no shuffle."""
+    toks = F.split(F.col("text"), r"\s+")
+
+    def tokh(x):
+        return F.conv(F.substring(F.md5(F.encode(x, "utf-8")), 1, 7), 16, 10).cast(
+            "long"
+        )
+
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + tokh(x)) % 2147483647
+    )
+    return _t(spark, sf_dir, "documents").select(F.col("doc_id"), fp.alias("doc_fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+SELECT doc_id,
+  list_reduce(list_transform(t, x -> CAST('0x' || substring(md5(x), 1, 7) AS BIGINT)),
+              (acc, x) -> (acc * 131 + x) % 2147483647) AS doc_fp
+FROM toks
+"""
+
+
+# --------------------------------------------- IVF ANN top-k (cell-probe scale path)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN — the cell-probe scale path beside the LSH
+    one (q_lsh_bucket_topk) and the brute-force baseline (q_embed_topk):
+    8 deterministic centroids (the first 8 corpus vectors), every vector
+    assigned to its max-dot-product cell, the query probes its nprobe=2
+    nearest cells, exact cosine top-10 within the probed cells only. At
+    10^10 vectors the scan shrinks to nprobe/8 of the corpus per query;
+    centroids are literals (an 8-row driver collect), so assignment is one
+    narrow projection — no dim-table cross join in the plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id"), ve.alias("v"))
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select(ve.alias("v")).collect()
+    )
+
+    def dot_lit(vals):
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(*[dot_lit(r["v"]) for r in cent_rows])
+    # argmax cell; array_position takes the FIRST max → ties go to the lowest
+    # cid, matching the oracle's ORDER BY dot DESC, cid ASC
+    cell = F.array_position(dots, F.array_max(dots)) - 1
+    asgn = vecs.select("vec_id", "v", cell.alias("cell"))
+
+    qv = vecs.filter(F.col("vec_id") == 0).select("v").collect()[0]["v"]
+    dots_q = [sum(a * b for a, b in zip(qv, r["v"])) for r in cent_rows]
+    probe = sorted(range(len(cent_rows)), key=lambda i: (-dots_q[i], i))[:2]
+
+    nq = sum(x * x for x in qv) ** 0.5
+    dot_q = dot_lit(qv)
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.floor(dot_q / (nv * F.lit(float(nq))) * 10000.0 + 0.5) / 10000.0
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        asgn.filter((F.col("vec_id") != 0) & F.col("cell").isin(probe))
+        .withColumn("cos_sim", cos)
+        .select("vec_id", "cell", "cos_sim")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+asgn AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, cents.cid AS cell, e.v,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid ASC) AS r
+    FROM e CROSS JOIN cents) WHERE r = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cid AS cell FROM cents, q
+  ORDER BY list_dot_product(q.qv, cents.c) DESC, cid ASC LIMIT 2),
+cand AS (
+  SELECT a.vec_id, a.cell,
+    FLOOR(list_dot_product(a.v, q.qv)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+          * 10000.0 + 0.5) / 10000.0 AS cos_sim
+  FROM asgn a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+  WHERE a.vec_id <> 0)
+SELECT vec_id, cell, cos_sim, rk FROM (
+  SELECT vec_id, cell, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+WHERE rk <= 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1390,6 +1507,8 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
     # rows-only (engine-internal state: bloom bits / snapshot manifests are
