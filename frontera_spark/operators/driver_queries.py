@@ -908,7 +908,6 @@ WHERE rk <= 10
 
 # --------------------------------- banded MinHash-LSH near-dup join (scale path)
 
-_LSH_PERMS = 12  # k permutations = N_BANDS × BAND_R
 _LSH_BANDS = 4
 _LSH_R = 3
 _LSH_JACCARD_MIN = 0.6  # verify threshold ≈ the (1/b)^(1/r) s-curve knee
@@ -941,20 +940,6 @@ _AUG_DOCS_SQL = """
 """
 
 
-def _shingles3():
-    """Distinct token-3-shingle set of ``text``."""
-    toks = F.split(F.col("text"), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
-
-
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Banded MinHash-LSH near-dup JOIN — the scale path that replaces the
     all-pairs cross join (q_ngram_jaccard_pairs is the capped brute-force
@@ -964,48 +949,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     only. At 10^10 docs the band join touches O(collisions), not O(n²);
     recall is tuned by (bands, rows) on the (1/b)^(1/r) s-curve.
     frontera has no dedup operator (SURVEY.md §2 'absent'); this is the
-    LLM-pipeline requirement from the builder brief."""
-    sh = _aug_docs(spark, sf_dir).select(
-        F.col("doc_id"), _shingles3().alias("sh")
-    ).filter(F.size("sh") >= 3)
+    LLM-pipeline requirement from the builder brief. Implementation lives in
+    operators/pipeline.minhash_lsh_pairs_for (the composed clean-corpus
+    pipeline reuses it on arbitrary document frames)."""
+    from frontera_spark.operators.pipeline import minhash_lsh_pairs_for
 
-    def mh(p):  # permutation p = lexicographic min of md5('p:' || shingle)
-        return F.array_min(
-            F.transform(F.col("sh"), lambda x: F.md5(F.encode(F.concat(F.lit(f"{p}:"), x), "utf-8")))
-        )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws("|", *[mh(b * _LSH_R + r) for r in range(_LSH_R)]), "utf-8"
-                )
-            ).alias("sig"),
-        )
-        for b in range(_LSH_BANDS)
-    ]
-    bands = sh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
-    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
-    union = F.size("sa") + F.size("sb") - inter
-    jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
-    return (
-        cand.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= _LSH_JACCARD_MIN)
-        .select("a", "b", "jaccard")
+    return minhash_lsh_pairs_for(
+        _aug_docs(spark, sf_dir),
+        bands=_LSH_BANDS,
+        r=_LSH_R,
+        jaccard_min=_LSH_JACCARD_MIN,
     )
 
 

@@ -1,0 +1,203 @@
+"""Composed training-data pipeline: crawlable corpus → clean corpus.
+
+The dedup / similarity / text-analysis operators exist individually as
+oracle-paired driver queries (operators/driver_queries.py); this module is
+the composition a real 100 TB training-data pipeline runs them in — one
+declarative DataFrame job per stage, each stage's survivors feeding the
+next, with per-stage lineage counts:
+
+    documents
+      → exact dedup        (md5 hash-groupBy, keep min doc_id per group)
+      → near-dup dedup     (banded MinHash-LSH candidate join + exact-Jaccard
+                            verify; greedy keep-lowest-doc_id)
+      → quality filter     (JVM-side composite score ≥ threshold)
+      → language filter    (n-gram/stopword heuristic ∈ allowed set)
+      → clean corpus
+
+Scale shape: every stage is shuffle-bounded — the exact dedup is one hash
+aggregation; the near-dup candidate generation is a (band, signature)
+equi-join (no cartesian product anywhere in any plan); quality/langid are
+narrow per-row projections. Nothing collects to the driver except the
+per-stage counts (one scalar each).
+
+frontera has no dedup/quality operators (SURVEY.md §2 'absent'); this is the
+builder-brief LLM-pipeline requirement, composed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LSH_BANDS = 4
+_LSH_R = 3
+_LSH_JACCARD_MIN = 0.6
+
+
+def shingles3_col():
+    """Distinct token-3-shingle set of ``text`` (the MinHash input)."""
+    toks = F.split(F.col("text"), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
+def quality_col():
+    """Composite quality score of ``text`` ∈ [0,1] — token count, stopword
+    density, mean token length; whole expression JVM-side (identical to the
+    oracle-paired q_quality_score)."""
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("double")
+    the_hits = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))
+    ) / 5.0
+    avg_tok_len = F.length("text") / toks
+    raw = (
+        F.least(toks / 100.0, F.lit(1.0)) * 0.5
+        + F.least(the_hits / 5.0, F.lit(1.0)) * 0.2
+        + F.least(avg_tok_len / 8.0, F.lit(1.0)) * 0.3
+    )
+    return F.floor(raw * 10000.0 + 0.5) / 10000.0
+
+
+def langid_col():
+    """Language-ID heuristic over ``text`` (identical to the oracle-paired
+    q_langid_heuristic): argmax of stopword-marker densities, 'und' when no
+    marker hits."""
+
+    def hits(kw):
+        return (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(kw), F.lit("")))
+        ) / len(kw)
+
+    en, de, fr, es = hits(" the "), hits(" und "), hits(" et "), hits(" el ")
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id of each md5(text) group.
+
+    One hash aggregation + a semi join on the (small) keep-list — partial
+    aggregation map-side, no window, no skew sensitivity."""
+    sig = F.md5(F.encode(F.col("text"), "utf-8"))
+    keep = (
+        docs.select(sig.alias("_sig"), "doc_id")
+        .groupBy("_sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def minhash_lsh_pairs_for(
+    docs: DataFrame,
+    bands: int = _LSH_BANDS,
+    r: int = _LSH_R,
+    jaccard_min: float = _LSH_JACCARD_MIN,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (a < b, jaccard ≥ threshold) over an
+    arbitrary (doc_id, text) DataFrame — the generalized form of the
+    oracle-paired q_minhash_lsh_pairs. Candidates come from a (band, band
+    signature) EQUI-join; exact Jaccard verifies candidates only. No
+    cartesian product at any size."""
+    sh = docs.select(F.col("doc_id"), shingles3_col().alias("sh")).filter(
+        F.size("sh") >= 3
+    )
+
+    def mh(p):  # permutation p = lexicographic min of md5('p:' || shingle)
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x: F.md5(F.encode(F.concat(F.lit(f"{p}:"), x), "utf-8")),
+            )
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[mh(b * r + i) for i in range(r)]), "utf-8"
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = sh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_min)
+        .select("a", "b", "jaccard")
+    )
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    bands: int = _LSH_BANDS,
+    r: int = _LSH_R,
+    jaccard_min: float = _LSH_JACCARD_MIN,
+) -> DataFrame:
+    """Near-dup dedup: drop the higher doc_id of every verified pair (greedy
+    keep-lowest-canonical — each near-dup group keeps at least its minimum
+    doc_id; transitive-closure clustering would need an iterative
+    connected-components pass and is deliberately out of scope)."""
+    pairs = minhash_lsh_pairs_for(docs, bands=bands, r=r, jaccard_min=jaccard_min)
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    bands: int = _LSH_BANDS,
+    r: int = _LSH_R,
+    jaccard_min: float = _LSH_JACCARD_MIN,
+) -> tuple[DataFrame, dict[str, int]]:
+    """The composed pipeline. Returns (clean docs DF, per-stage counts).
+
+    Stage counts are one scalar collect each — the only driver-side data."""
+    counts = {"input": docs.count()}
+    d1 = exact_dedup(docs)
+    counts["after_exact_dedup"] = d1.count()
+    d2 = neardup_dedup(d1, bands=bands, r=r, jaccard_min=jaccard_min)
+    counts["after_neardup_dedup"] = d2.count()
+    d3 = d2.withColumn("quality", quality_col()).filter(
+        F.col("quality") >= min_quality
+    )
+    counts["after_quality_filter"] = d3.count()
+    d4 = d3.withColumn("lang_pred", langid_col()).filter(
+        F.col("lang_pred").isin(list(langs))
+    )
+    counts["after_lang_filter"] = d4.count()
+    return d4, counts
