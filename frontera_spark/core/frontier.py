@@ -48,7 +48,7 @@ from frontera_spark.functions.fingerprint import (
     fingerprint64_col,
     partition_id_col,
 )
-from frontera_spark.functions.urls import canonicalize_urls_udf, host_col
+from frontera_spark.functions.urls import host_col, with_canonical_url
 from frontera_spark.plans.snapshot import SnapshotTable
 
 FRONTIER_SCHEMA = (
@@ -179,7 +179,7 @@ class FrontierEngine:
             # partition) window is needed
             df = df.withColumn("_o1", F.lit(0)).withColumn("_o2", F.col("url"))
         df = (
-            df.withColumn("canonical_url", canonicalize_urls_udf("url"))
+            with_canonical_url(df)
             .withColumn("host", host_col(F.col("canonical_url")))
             .filter(F.col("host").isNotNull())
             .filter(F.length("canonical_url") <= self.max_url_length)

@@ -814,24 +814,34 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_LSH_TOPK_PLANES = 8  # 256 buckets; multi-probe widens recall
+_EMB_DIM = 64
+
+
+def _plane_signs(p: int, dim: int = _EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane: component d of plane p is
+    +1 iff the first md5 nibble of 'p:d' is ≥ 8 — decorrelated from the
+    corpus (unlike data vectors as planes) and reproducible verbatim in the
+    DuckDB oracle, which embeds the same literals."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+        for d in range(dim)
+    ]
+
+
 def q_lsh_bucket_topk(spark, sf_dir):
-    """ANN scale path: random-hyperplane LSH bucketing (hyperplanes = the
-    first 6 embeddings, deterministic), then cosine top-10 only WITHIN the
-    query's bucket — the brute-force scan (q_embed_topk) shrinks to ~1/2^6
-    of the corpus per probe. Recall trades off against probes; the plumbing
-    (signature build, bucket equi-join, in-bucket rank) is what scales."""
+    """ANN scale path: random-hyperplane LSH bucketing (8 hash-derived ±1
+    planes → 256 buckets) with Hamming-1 MULTI-PROBE (query bucket + its 8
+    one-bit neighbors), then cosine top-10 only within the probed buckets —
+    the brute-force scan (q_embed_topk) shrinks to ~(planes+1)/2^planes of
+    the corpus. Recall trades off against probe count on the hyperplane-LSH
+    collision curve; the plumbing (signature projection, bucket equi-join,
+    in-bucket rank) is what scales."""
     emb = _t(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id"), ve.alias("v"))
-    # plane vectors as LITERALS (a 6-row driver collect of data-derived
-    # hyperplanes): the signature becomes one narrow projection — no
-    # dim-table cross join (and no BroadcastNestedLoop) in the plan
-    plane_rows = (
-        emb.filter(F.col("vec_id") < 6)
-        .orderBy("vec_id")
-        .select(ve.alias("v"))
-        .collect()
-    )
 
     def dot_lit(plane):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -842,17 +852,32 @@ def q_lsh_bucket_topk(spark, sf_dir):
         )
 
     bucket = None
-    for p, r in enumerate(plane_rows):
-        bit = F.when(dot_lit(r["v"]) > 0, F.lit(1 << p).cast("long")).otherwise(
+    for p in range(_LSH_TOPK_PLANES):
+        bit = F.when(dot_lit(_plane_signs(p)) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
     sigs = vecs.select("vec_id", "v", bucket.alias("bucket"))
-    q = sigs.filter(F.col("vec_id") == 0).select(
+    qrow = sigs.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("q")
     )
+    # multi-probe: the query bucket plus every bucket at Hamming distance 1
+    # (one sign bit flipped) — 9 probe rows exploded from the single query
+    # row, then an equi-join; probes are distinct so no candidate dedup
+    probes = qrow.select(
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+                    for p in range(_LSH_TOPK_PLANES)
+                ],
+            )
+        ).alias("probe"),
+        F.col("q"),
+    )
     cand = sigs.filter(F.col("vec_id") != 0).join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        F.broadcast(probes), F.col("bucket") == F.col("probe")
     )
     dot_vq = F.aggregate(
         F.zip_with(F.col("v"), F.col("q"), lambda a, b: a * b),
@@ -883,27 +908,38 @@ def q_lsh_bucket_topk(spark, sf_dir):
     )
 
 
-SQL_LSH_BUCKET_TOPK = """
+def _lsh_topk_sql() -> str:
+    """Oracle for q_lsh_bucket_topk — the same md5-derived ±1 planes are
+    rendered as list literals, so both engines compute identical buckets."""
+    bucket_terms = " + ".join(
+        "CAST(CASE WHEN list_dot_product(v, ["
+        + ",".join(str(x) for x in _plane_signs(p))
+        + f"]) > 0 THEN {1 << p} ELSE 0 END AS BIGINT)"
+        for p in range(_LSH_TOPK_PLANES)
+    )
+    probe_list = ", ".join(
+        f"xor(qbucket, CAST({1 << p} AS BIGINT))" for p in range(_LSH_TOPK_PLANES)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes AS (SELECT vec_id AS pid, v AS p FROM e WHERE vec_id < 6),
-sigs AS (
-  SELECT e.vec_id, any_value(e.v) AS v,
-    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.p) > 0
-             THEN CAST(2 ** planes.pid AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+sigs AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
 q AS (SELECT bucket AS qbucket, v AS qv FROM sigs WHERE vec_id = 0),
+probes AS (SELECT unnest([qbucket, {probe_list}]) AS probe, qv FROM q),
 cand AS (
   SELECT s.vec_id, s.bucket,
-    FLOOR(list_dot_product(s.v, q.qv)
-          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+    FLOOR(list_dot_product(s.v, p.qv)
+          / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(p.qv, p.qv)))
           * 10000.0 + 0.5) / 10000.0 AS cos_sim
-  FROM sigs s JOIN q ON s.bucket = q.qbucket WHERE s.vec_id <> 0)
+  FROM sigs s JOIN probes p ON s.bucket = p.probe WHERE s.vec_id <> 0)
 SELECT vec_id, bucket, cos_sim, rk FROM (
   SELECT vec_id, bucket, cos_sim,
          ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk
   FROM cand)
 WHERE rk <= 10
 """
+
+
+SQL_LSH_BUCKET_TOPK = _lsh_topk_sql()
 
 
 # --------------------------------- banded MinHash-LSH near-dup join (scale path)
@@ -993,6 +1029,45 @@ SELECT a, b, jaccard FROM (
           * 10000.0 + 0.5) / 10000.0 AS jaccard
   FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id)
 WHERE jaccard >= {_LSH_JACCARD_MIN}
+"""
+
+
+def q_neardup_components(spark, sf_dir):
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    (doc_id, component = min reachable doc_id) — the transitive-closure
+    clustering step a full dedup pipeline runs after candidate
+    verification (greedy pairwise drop under-merges chains A~B~C where
+    A!~C). Spark side: iterative min-label propagation on the edge set
+    (operators/pipeline.neardup_components — one join+groupBy per round,
+    O(diameter) rounds, edge-set-sized shuffles only). Oracle: exact
+    WITH RECURSIVE closure in DuckDB. frontera has no dedup operator
+    (SURVEY.md §2 'absent'); builder-brief LLM-pipeline requirement."""
+    from frontera_spark.operators.pipeline import (
+        minhash_lsh_pairs_for,
+        neardup_components,
+    )
+
+    pairs = minhash_lsh_pairs_for(
+        _aug_docs(spark, sf_dir), bands=_LSH_BANDS, r=_LSH_R,
+        jaccard_min=_LSH_JACCARD_MIN,
+    )
+    out = neardup_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+comp(node, lbl) AS (
+  SELECT x, x FROM edges
+  UNION
+  SELECT e.y, c.lbl FROM comp c JOIN edges e ON c.node = e.x
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM comp GROUP BY node
 """
 
 
@@ -1458,6 +1533,7 @@ QUERIES = {
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -161,6 +161,60 @@ def minhash_lsh_pairs_for(
     )
 
 
+def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph: (doc_id, component)
+    where component = min doc_id reachable through verified pairs — the
+    canonical-representative assignment a full dedup pipeline uses instead
+    of the greedy drop-higher-id rule.
+
+    Iterative min-label propagation, pure DataFrame ops: each round every
+    node adopts the minimum label among itself and its neighbors; converges
+    in O(graph diameter) rounds (near-dup clusters are shallow — chains of
+    edits — so the bound is small; ``max_iterations`` caps pathological
+    graphs). Each round is one shuffle-bounded join+groupBy on the EDGE set
+    (not the corpus): at 10^10 docs the edge set is the LSH-verified pairs,
+    orders of magnitude smaller than the corpus. A checkpoint-free bounded
+    loop — lineage stays max_iterations joins deep, fine for small
+    diameters; a production run at extreme diameters would localCheckpoint
+    every ~10 rounds."""
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.x == labels.node)
+            .groupBy(F.col("y").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+
+
 def neardup_dedup(
     docs: DataFrame,
     bands: int = _LSH_BANDS,

@@ -224,52 +224,70 @@ class SnapshotTable:
         m = self.manifest()
         key = m["key"]
         sid = m["snapshot_id"] + 1
-        # cache the source: it feeds the affected-partition probe AND the
-        # merge join — without this the full upstream plan (UDFs, anti-joins)
-        # recomputes once per consumer
-        source = source.cache()
+        cached = False
         if affected_pids is not None:
             affected = {str(p) for p in affected_pids}
         else:
+            # the probe is a second consumer of the source plan — cache it so
+            # the upstream (UDFs, anti-joins) doesn't recompute for the merge
+            source = source.cache()
+            cached = True
             affected = {
                 str(r[PARTITION_COL])
                 for r in source.select(PARTITION_COL).distinct().collect()
             }
         if not affected:
-            source.unpersist()
+            if cached:
+                source.unpersist()
             return m["snapshot_id"]  # empty merge: no-op, no new snapshot
 
         target = self.read()
         cols = target.columns
-        tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
-
         src = source.select(*cols)
         if set_cols is None:
             set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
 
-        t, s = tgt.alias("t"), src.alias("s")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
-        joined = t.join(s, cond, "full_outer")
-        matched_t = F.col(f"t.{key[0]}").isNotNull()
-        matched_s = F.col(f"s.{key[0]}").isNotNull()
-
-        proj = []
-        for c in cols:
-            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
-            if c in key or c == PARTITION_COL:
-                proj.append(F.coalesce(tc, sc).alias(c))
-            elif c in set_cols:
-                # matched → source value; unmatched target → target value;
-                # unmatched source (insert) → source value
-                proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
-            else:
-                proj.append(F.when(matched_t, tc).otherwise(sc).alias(c))
-        merged = joined.select(*proj)
-        if not insert:
-            merged = joined.filter(matched_t).select(*proj)
+        # MERGE fast path: the affected target partitions hold zero rows
+        # (manifest counters — metadata only). Every source row is an insert;
+        # bulk loads into fresh partitions skip the join entirely (Iceberg's
+        # merge-into-empty == append).
+        tgt_rows = sum(int(m["counters"].get(p, 0)) for p in affected)
+        if tgt_rows == 0:
+            merged = src if insert else src.limit(0)
+        else:
+            tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
+            t, s = tgt.alias("t"), src.alias("s")
+            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
+            matched_s = F.col(f"s.{key[0]}").isNotNull()
+            # decomposed MERGE: (target LEFT JOIN source) ∪ (source ANTI
+            # target). Equivalent to the textbook full_outer formulation, but
+            # both joins can BROADCAST the source — a batch-sized merge
+            # against a 10^10-row table never shuffles the table, where a
+            # full_outer join can never use a broadcast build side.
+            proj = []
+            for c in cols:
+                tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+                if c in key or c == PARTITION_COL:
+                    proj.append(tc.alias(c))
+                elif c in set_cols:
+                    proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
+                else:
+                    proj.append(tc.alias(c))
+            # no explicit broadcast hint: AQE converts either join to a
+            # broadcast build at runtime when the source side is small; a
+            # bulk-sized source stays sort-merge (column-pruned to keys on
+            # the anti side)
+            kept = t.join(s, cond, "left").select(*proj)
+            merged = kept
+            if insert:
+                inserts = s.join(t, cond, "left_anti").select(
+                    *[F.col(f"s.{c}").alias(c) for c in cols]
+                )
+                merged = kept.unionByName(inserts)
 
         new_dirs, new_counts = self._write_partitions(merged, sid)
-        source.unpersist()
+        if cached:
+            source.unpersist()
         # partitions that became empty still count as affected (dropped)
         return self._commit(new_dirs, new_counts, affected, meta)
 

@@ -165,6 +165,21 @@ def _np_burn(n_mb: int) -> int:
     return s
 
 
+def _io_burn(n_mb: int) -> int:
+    """Write+fsync a fixed-size file — the single-local-disk analogue of the
+    np memory-streaming probe (snapshot writes are bounded by this; on a real
+    cluster each executor writes to its own disks / distributed storage)."""
+    import tempfile
+
+    chunk = os.urandom(1 << 20)
+    with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+        for _ in range(n_mb):
+            f.write(chunk)
+        f.flush()
+        os.fsync(f.fileno())
+    return n_mb
+
+
 def hardware_ceiling() -> dict:
     """No-framework weak-scaling probe: N independent processes, each doing a
     fixed chunk of work (pure-Python CPU loop; numpy memory-streaming), at
@@ -173,18 +188,18 @@ def hardware_ceiling() -> dict:
     parallel framework on this VM — Spark stages cannot beat it."""
     import multiprocessing as mp
 
+    fns = {"py": (_py_burn, 20_000_000), "np": (_np_burn, 512), "io": (_io_burn, 256)}
+
     def run(kind: str, nproc: int) -> float:
+        fn, arg = fns[kind]
         with mp.Pool(nproc) as p:
             t0 = time.perf_counter()
-            if kind == "py":
-                p.map(_py_burn, [20_000_000] * nproc)
-            else:
-                p.map(_np_burn, [512] * nproc)
+            p.map(fn, [arg] * nproc)
             return time.perf_counter() - t0
 
     lo, hi = CORES
     out = {}
-    for kind in ("py", "np"):
+    for kind in ("py", "np", "io"):
         t_lo = min(run(kind, lo) for _ in range(2))
         t_hi = min(run(kind, hi) for _ in range(2))
         out[kind] = {
@@ -231,7 +246,13 @@ def outer(leg_files: list[str] | None = None) -> None:
         m: round(results[hi][k] / (factor * results[lo][k]), 3) for m, k in rates.items()
     }
     hw = hardware_ceiling()
-    ceiling = min(v["weak_eff"] for v in hw.values())
+    # per-stage ceiling = min over the resources that stage saturates:
+    # schedule writes the snapshot (disk counts); dedup exits before the
+    # write; fetch is decode compute (cpu + memory)
+    stage_res = {"schedule": ("py", "np", "io"), "dedup": ("py", "np"), "fetch": ("py", "np")}
+    ceilings = {
+        m: min(hw[k]["weak_eff"] for k in ks) for m, ks in stage_res.items()
+    }
     out = {
         "metric": f"frontier throughput scaling local[{lo}] -> local[{hi}] (N -> 4N proxy)",
         "n_urls": N_URLS,
@@ -239,8 +260,9 @@ def outer(leg_files: list[str] | None = None) -> None:
         "runs": results,
         "efficiency": eff,
         "hardware_ceiling": hw,
+        "stage_ceiling": ceilings,
         "efficiency_vs_ceiling": {
-            m: round(e / ceiling, 3) for m, e in eff.items()
+            m: round(e / ceilings[m], 3) for m, e in eff.items()
         },
     }
     print(json.dumps(out))
@@ -277,15 +299,17 @@ Criterion (BASELINE north rule): efficiency = R_4N / (4 × R_N) ≥ 0.8.
 {hw_rows}
 
 **Hardware ceiling (measured, no Spark):** N fully-independent processes each
-doing a fixed work chunk — pure-Python CPU loop and numpy memory streaming —
-weak-scale at {"/".join(str(v['weak_eff']) for v in hw.values())} from {lo}→{hi}
+doing a fixed work chunk — pure-Python CPU loop, numpy memory streaming, and
+file write+fsync — weak-scale at
+{"/".join(str(v['weak_eff']) for v in hw.values())} from {lo}→{hi}
 procs on this VM. That is the upper bound ANY parallel framework can reach
-here; normalized against it, the stages sit at
+here for work that saturates those resources; normalized against the min
+ceiling of each stage's resources (schedule touches disk via the snapshot
+write; dedup/fetch are cpu+memory), the stages sit at
 {", ".join(f"{m}={e}" for m, e in evc.items())}. On a real 4N-executor cluster
-each executor brings its own memory bandwidth and JVM heap, so the
-ceiling does not travel. The in-capacity pair
-(`SPARK_GRAFT_SCALE_CORES=2,8 python scaling_bench.py`) is the clean N→4N
-evidence; this table documents the mandated {lo}→{hi} pair honestly.
+each executor brings its own memory bandwidth, disks, and JVM heap, so the
+ceiling does not travel.
+{"This table is the in-capacity pair where the ≥0.8 bar applies directly; the mandated local[8]→local[32] pair is documented in its own section." if (lo, hi) == (2, 8) else "This table documents the mandated pair honestly; the in-capacity local[2]→local[8] pair (its own section) is the clean N→4N evidence."}
 {end}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     body = ""

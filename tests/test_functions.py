@@ -164,3 +164,38 @@ def test_fast_path_is_fixed_point():
         "https://h.example.test./p",
     ]:
         assert not _ALREADY_CANONICAL_RE.fullmatch(messy), messy
+
+
+def test_jvm_gate_matches_python_regex(spark):
+    """with_canonical_url routes via a Java rlike rendering of the fast-path
+    regex: (a) Java and Python regexes must agree row-for-row, and (b) the
+    whole-frame result must equal the pure-UDF canonicalization."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from frontera_spark.functions.urls import (
+        _ALREADY_CANONICAL_JAVA,
+        _ALREADY_CANONICAL_RE,
+        with_canonical_url,
+    )
+
+    rng = random.Random(7)
+    path_chars = string.ascii_letters + string.digits + "!$&'()*+,;=:@~._/-"
+    urls = [r for r, _ in CANON_CASES]
+    for _ in range(500):
+        host = "h" + str(rng.randint(0, 99)) + ".example.test"
+        path = "/" + "".join(rng.choice(path_chars) for _ in range(rng.randint(0, 20)))
+        extra = rng.choice(["", "?b=2&a=1", "#frag", ":8080"])
+        urls.append(f"{rng.choice(['http', 'https', 'HTTP'])}://{host}{path}{extra}")
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.withColumn("jvm", F.col("url").rlike(_ALREADY_CANONICAL_JAVA)).collect()
+    for r in rows:
+        assert r.jvm == bool(_ALREADY_CANONICAL_RE.fullmatch(r.url)), r.url
+
+    out = {r.url: r.canonical_url for r in with_canonical_url(df).collect()}
+    assert len(out) == len(set(urls))
+    for u in set(urls):
+        assert out[u] == canonicalize_url(u), u

@@ -85,3 +85,16 @@ def test_clean_corpus_quality_gate_monotone(docs):
     _, hi = clean_corpus(docs, min_quality=0.95, langs=("en",))
     assert hi["after_quality_filter"] <= lo["after_quality_filter"]
     assert hi["after_quality_filter"] < hi["after_neardup_dedup"]
+
+
+def test_neardup_components_chain(spark):
+    """A~B~C chains collapse to one component labeled by the min id, even
+    when A and C never share a pair; disjoint pairs stay separate."""
+    from frontera_spark.operators.pipeline import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.7), (10, 11, 0.95), (20, 21, 0.9), (21, 22, 0.9)],
+        "a long, b long, jaccard double",
+    )
+    out = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
