@@ -1,0 +1,106 @@
+"""robots.txt rule evaluation (RFC 9309 subset) as DataFrame operators.
+
+frontera itself delegates robots handling to the crawler (scrapy's
+RobotsTxtMiddleware downloads and enforces robots.txt; frontera only carries
+the resulting skip decision), but the north rule requires robots gating
+inside the scheduler, so the engine evaluates parsed rules at schedule time:
+
+- ``parse_robots_txt(text)`` → ``[(rule, prefix)]`` for the ``User-agent: *``
+  group(s) — ``Disallow:`` / ``Allow:`` lines only (the RFC 9309 core);
+  ``%``-wildcards (``*``, ``$``) are NOT interpreted — prefixes are literal,
+  documented subset.
+- ``rules_df(spark, {host: robots_txt})`` → DataFrame(host, rule, prefix).
+- ``with_allowed(links, rules)`` → links + ``allowed boolean`` via RFC 9309
+  precedence: the longest matching prefix wins; on equal length Allow wins;
+  no matching rule ⇒ allowed.
+
+Scale shape: the rule table is hosts-sized — broadcast it; the link stream
+never shuffles. Longest-match is a broadcast join + one hash aggregation
+keyed on the link (max_by over (prefix length, rule)), no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(text: str) -> list[tuple[str, str]]:
+    """Extract (rule, prefix) pairs for ``User-agent: *`` groups.
+
+    A group = consecutive User-agent lines followed by rule lines (RFC 9309
+    §2.1); only groups naming ``*`` contribute. An empty Disallow value
+    means "allow everything" and yields no rule.
+    """
+    rules: list[tuple[str, str]] = []
+    applies = False
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:  # a new group starts; reset applicability
+                applies = False
+                in_agent_run = True
+            applies = applies or value == "*"
+        else:
+            in_agent_run = False
+            if applies and field in ("disallow", "allow") and value:
+                rules.append(("deny" if field == "disallow" else "allow", value))
+    return rules
+
+
+def rules_df(spark: SparkSession, robots_by_host: dict[str, str]) -> DataFrame:
+    rows = [
+        (host, rule, prefix)
+        for host, text in robots_by_host.items()
+        for rule, prefix in parse_robots_txt(text)
+    ]
+    return spark.createDataFrame(rows or [], "host string, rule string, prefix string")
+
+
+def with_allowed(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """Append ``allowed boolean`` to links(url, host, ...).
+
+    Longest-prefix precedence, Allow wins ties, unmatched ⇒ allowed.
+
+    Plan shape: broadcast the rule table onto the link stream (inner join —
+    links on rule-less hosts drop out immediately and stay un-shuffled),
+    aggregate the best rule per matched url, then join that verdict set
+    back. The verdict set is rule-HIT-sized — in a healthy crawl a small
+    minority — so AQE broadcasts it and the big link side never shuffles.
+    """
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    matched = (
+        links.select("url", F.col("host"), path.alias("_path"))
+        .join(F.broadcast(rules), ["host"])
+        .filter(F.col("_path").startswith(F.col("prefix")))
+    )
+    # precedence as ONE sortable key: zero-padded prefix length, then an
+    # allow-beats-deny flag — longest match wins, Allow wins equal lengths
+    # (identical key in the DuckDB oracle, so tie-breaks agree bit-for-bit)
+    prec = F.concat(
+        F.lpad(F.length("prefix").cast("string"), 4, "0"),
+        F.when(F.col("rule") == "allow", F.lit("1")).otherwise(F.lit("0")),
+    )
+    best = matched.groupBy("url").agg(F.max_by(F.col("rule"), prec).alias("_best_rule"))
+    return links.join(best, ["url"], "left").withColumn(
+        "allowed", F.coalesce(F.col("_best_rule") != "deny", F.lit(True))
+    ).drop("_best_rule")
+
+
+def robots_middleware(rules: DataFrame):
+    """Engine middleware (E2 chain): drop links a robots rule denies.
+
+    Usage: ``FrontierEngine(..., middlewares=[robots_middleware(rules)])`` —
+    runs after canonicalization, so rules see the canonical host/path.
+    """
+
+    def mw(df: DataFrame) -> DataFrame:
+        return with_allowed(df, rules).filter(F.col("allowed")).drop("allowed")
+
+    return mw

@@ -951,7 +951,7 @@ _LSH_JACCARD_MIN = 0.6  # verify threshold ≈ the (1/b)^(1/r) s-curve knee
 
 def _aug_docs(spark, sf_dir):
     """documents ∪ deterministic near-dup variants: for doc_id < 150 a copy
-    (doc_id+1000) with the first token dropped — Jaccard (n-3)/(n-2) vs the
+    (doc_id+1000000) with the first token dropped — Jaccard (n-3)/(n-2) vs the
     original, so the LSH join has real positives to find. Both engines derive
     the same rows (no external data)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -960,7 +960,7 @@ def _aug_docs(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
         .select(
-            (F.col("doc_id") + 1000).alias("doc_id"),
+            (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1)).alias("text"),
         )
     )
@@ -970,7 +970,7 @@ def _aug_docs(spark, sf_dir):
 _AUG_DOCS_SQL = """
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000 AS doc_id,
+  SELECT doc_id + 1000000 AS doc_id,
          array_to_string((string_split_regex(text, '\\s+'))[2:], ' ') AS text
   FROM documents WHERE doc_id < 150
 """
@@ -1160,7 +1160,7 @@ def q_phash_neardup_pairs(spark, sf_dir):
     EQUI-join and popcount(xor) verifies ≤ 3 exactly — no cartesian. The
     corpus table's real phash column drives the same plan in the engine;
     here phash is derived deterministically from the documents table (md5
-    high bits) with bit-flip variants (doc_id+1000, phash ⊕ 0b101) as
+    high bits) with bit-flip variants (doc_id+1000000, phash ⊕ 0b101) as
     guaranteed near-dups."""
     base = _t(spark, sf_dir, "documents").select(
         F.col("doc_id"),
@@ -1169,7 +1169,7 @@ def q_phash_neardup_pairs(spark, sf_dir):
         .alias("phash"),
     )
     variants = base.filter(F.col("doc_id") < 150).select(
-        (F.col("doc_id") + 1000).alias("doc_id"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
         F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
     )
     ph = base.unionByName(variants)
@@ -1211,7 +1211,7 @@ WITH base AS (
 ph AS (
   SELECT doc_id, phash FROM base
   UNION ALL
-  SELECT doc_id + 1000, xor(phash, 5) FROM base WHERE doc_id < 150),
+  SELECT doc_id + 1000000, xor(phash, 5) FROM base WHERE doc_id < 150),
 chunks AS (
   SELECT doc_id, phash, c.chunk,
          ((phash >> (16 * c.chunk)) & 65535) AS val
@@ -1272,6 +1272,43 @@ WHERE rn <= 100
 
 
 # --------------------------------------------- X7: job-epoch fencing counters
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots gating (north rule; frontera delegates to scrapy's
+    RobotsTxtMiddleware — here rules run inside the scheduler): every third
+    host publishes 'Disallow: /d/1, Allow: /d/12'; longest-prefix
+    precedence with Allow winning ties (RFC 9309). Exercises
+    core/robots.parse_robots_txt → rules_df → with_allowed end-to-end;
+    the rule table is broadcast, the link stream never shuffles."""
+    from frontera_spark.core.robots import rules_df, with_allowed
+
+    robots = {
+        f"h{h}.example.test": "User-agent: *\nDisallow: /d/1\nAllow: /d/12\n"
+        for h in range(0, 31, 3)
+    }
+    links = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), _url().alias("url"), _host().alias("host")
+    )
+    out = with_allowed(links, rules_df(spark, robots))
+    return out.select("doc_id", "url", "allowed")
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH links AS (SELECT doc_id, {_URL_SQL} AS url, {_HOST_SQL} AS host,
+                      '/d/' || CAST(doc_id AS VARCHAR) AS path FROM documents),
+rules AS (
+  SELECT 'h' || CAST(h.range AS VARCHAR) || '.example.test' AS host, r.rule, r.prefix
+  FROM range(0, 31, 3) h, (VALUES ('deny', '/d/1'), ('allow', '/d/12')) r(rule, prefix)),
+best AS (
+  SELECT l.doc_id,
+         arg_max(r.rule, lpad(CAST(len(r.prefix) AS VARCHAR), 4, '0') ||
+                         CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END) AS best_rule
+  FROM links l JOIN rules r ON l.host = r.host AND starts_with(l.path, r.prefix)
+  GROUP BY l.doc_id)
+SELECT l.doc_id, l.url, COALESCE(b.best_rule <> 'deny', TRUE) AS allowed
+FROM links l LEFT JOIN best b ON l.doc_id = b.doc_id
+"""
 
 
 def q_fencing_filter(spark, sf_dir):
@@ -1539,6 +1576,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
     # rows-only (engine-internal state: bloom bits / snapshot manifests are
     # not SQL-expressible; driver records the weaker rows-only check)

@@ -113,32 +113,64 @@ def minhash_lsh_pairs_for(
     oracle-paired q_minhash_lsh_pairs. Candidates come from a (band, band
     signature) EQUI-join; exact Jaccard verifies candidates only. No
     cartesian product at any size."""
-    sh = docs.select(F.col("doc_id"), shingles3_col().alias("sh")).filter(
-        F.size("sh") >= 3
-    )
-
-    def mh(p):  # permutation p = lexicographic min of md5('p:' || shingle)
-        return F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda x: F.md5(F.encode(F.concat(F.lit(f"{p}:"), x), "utf-8")),
-            )
+    k = bands * r
+    toks = F.split(F.col("text"), r"\s+")
+    # shingles as NARROW (doc_id, shingle) rows, hash-distinct — not a
+    # per-row array_distinct (quadratic, interpreted); and the k permutation
+    # md5s as plain codegen expressions over the exploded rows with a min()
+    # aggregate — not nested higher-order transforms (interpreted per
+    # element). Same values, whole-stage-codegen plan.
+    shingle = (
+        docs.select(F.col("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("s"),
         )
-
+        .distinct()
+        .cache()  # feeds the signature agg AND the verify-set agg
+    )
+    # permutation p = lexicographic min of md5('p:' || shingle)
+    sigs = (
+        shingle.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.encode(F.concat(F.lit(f"{p}:"), F.col("s")), "utf-8"))
+                ).alias(f"m{p}")
+                for p in range(k)
+            ],
+            F.count("*").alias("n_sh"),
+        )
+        .filter(F.col("n_sh") >= 3)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
                 F.encode(
-                    F.concat_ws("|", *[mh(b * r + i) for i in range(r)]), "utf-8"
+                    F.concat_ws("|", *[F.col(f"m{b * r + i}") for i in range(r)]),
+                    "utf-8",
                 )
             ).alias("sig"),
         )
         for b in range(bands)
     ]
-    bands_df = sh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands_df = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .cache()  # self-joined: both sides read the materialized signatures
+    )
 
     cand = (
         bands_df.alias("x")
@@ -147,9 +179,10 @@ def minhash_lsh_pairs_for(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
-    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
+    sets = shingle.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
     return (
