@@ -39,8 +39,8 @@ FEED_MSG_SCHEMA = (
 RESULT_MSG_SCHEMA = (
     "type string, fingerprint long, canonical_url string, host string, "
     "partition_id int, seq long, depth int, jid int, status_code int, "
-    "out_links array<string>"
-)
+    "out_links array<string>, fetched_at timestamp"
+)  # fetched_at: optional event time (NULL when a spider omits it)
 
 
 def encode_feed(feed: DataFrame, partitions: int) -> DataFrame:
@@ -87,6 +87,11 @@ def encode_results(results: DataFrame, partitions: int, status_code=None) -> Dat
         "jid",
         (F.lit(200) if status_code is None else status_code).cast("int").alias("status_code"),
         "out_links",
+        (
+            F.col("fetched_at")
+            if "fetched_at" in results.columns
+            else F.lit(None).cast("timestamp")
+        ).alias("fetched_at"),
     )
     return results.select(
         fingerprint_partition_id_col(F.col("fingerprint"), partitions)

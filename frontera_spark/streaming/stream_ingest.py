@@ -96,3 +96,50 @@ def stream_results(
     else:
         writer = writer.trigger(processingTime="10 seconds")
     return writer.start()
+
+
+def stream_host_stats(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    queryName: str = "host_stats",
+):
+    """Event-time crawl telemetry: tumbling-window per-host fetch/error
+    counts over the spider-log stream, with a watermark bounding late data.
+
+    frontera's stats stream is processing-time counters (worker/stats.py);
+    this is the Spark-native upgrade the bus never had: ``fetched_at`` event
+    time, ``withWatermark`` so state for closed windows is dropped (bounded
+    state at 10^10 fetches), append-mode emission of FINALIZED windows only
+    — a message arriving later than the watermark is dropped, not
+    double-counted. Sink is an in-memory table named ``queryName`` (swap for
+    parquet/Kafka in production; the aggregation is sink-agnostic).
+    """
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(source_dir)
+    results = decode_results(raw.select(F.col("value")))
+    agg = (
+        results.filter(F.col("fetched_at").isNotNull())
+        .withWatermark("fetched_at", watermark_delay)
+        .groupBy(F.window("fetched_at", window_duration).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum((F.col("status_code") >= 400).cast("int")).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetched",
+            "n_errors",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -80,3 +80,59 @@ def test_stream_results_marks_and_schedules(spark, tmp_path):
     assert states["https://b.example.test/new"] == STATE_QUEUED  # link scheduled
     new_row = eng.table.read().filter(F.col("canonical_url") == "https://b.example.test/new")
     assert new_row.collect()[0].depth == 1
+
+
+def test_stream_host_stats_watermark_windows(spark, tmp_path):
+    """Event-time windowed per-host stats: append mode emits only windows the
+    watermark has closed; the unfinalized tail window is withheld."""
+    from frontera_spark.streaming.stream_ingest import stream_host_stats
+
+    src = tmp_path / "log_in"
+    src.mkdir()
+
+    def msg(fp, host, ts, status=200):
+        return json.dumps(
+            {
+                "type": "page_crawled",
+                "fingerprint": fp,
+                "canonical_url": f"https://{host}/{fp}",
+                "host": host,
+                "partition_id": 0,
+                "seq": fp,
+                "depth": 0,
+                "jid": 0,
+                "status_code": status,
+                "out_links": [],
+                "fetched_at": ts,
+            }
+        )
+
+    # batch 1 (one file per trigger): two hosts inside [10:00, 10:01)
+    (src / "f1.txt").write_text(
+        "\n".join(
+            [
+                msg(1, "a.test", "2026-01-01 10:00:10"),
+                msg(2, "a.test", "2026-01-01 10:00:20", status=404),
+                msg(3, "b.test", "2026-01-01 10:00:30"),
+            ]
+        )
+    )
+    # batch 2 pushes the watermark to 10:03 (> 10:01 → window 1 closes)
+    (src / "f2.txt").write_text(msg(4, "a.test", "2026-01-01 10:05:00"))
+    # batch 3 exists so the post-f2 watermark gets applied; its own window
+    # (and f2's) stay open — append mode must withhold them
+    (src / "f3.txt").write_text(msg(5, "a.test", "2026-01-01 10:06:00"))
+
+    q = stream_host_stats(
+        spark, str(src), str(tmp_path / "ckpt_stats"), queryName="hs_test"
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from hs_test").collect()
+    got = {
+        (r.host, str(r.window_start)): (r.n_fetched, r.n_errors) for r in rows
+    }
+    assert got == {
+        ("a.test", "2026-01-01 10:00:00"): (2, 1),
+        ("b.test", "2026-01-01 10:00:00"): (1, 0),
+    }
