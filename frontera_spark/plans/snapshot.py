@@ -201,6 +201,63 @@ class SnapshotTable:
         affected = set(prev["dirs"]) | set(new_dirs)
         return self._commit(new_dirs, new_counts, affected, meta)
 
+    def _merged_frame(
+        self,
+        source: DataFrame,
+        set_cols: list[str] | None,
+        insert: bool,
+        affected: set[str],
+        m: dict,
+    ) -> DataFrame:
+        """Build the MERGE result frame (exposed so tests can audit the
+        executed plan — the broadcastability of the merge is a load-bearing
+        scale property, asserted in test_snapshot)."""
+        key = m["key"]
+        target = self.read()
+        cols = target.columns
+        src = source.select(*cols)
+        if set_cols is None:
+            set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
+
+        # MERGE fast path: the affected target partitions hold zero rows
+        # (manifest counters — metadata only). Every source row is an insert;
+        # bulk loads into fresh partitions skip the join entirely (Iceberg's
+        # merge-into-empty == append).
+        tgt_rows = sum(int(m["counters"].get(p, 0)) for p in affected)
+        if tgt_rows == 0:
+            return src if insert else src.limit(0)
+
+        tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
+        t, s = tgt.alias("t"), src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
+        matched_s = F.col(f"s.{key[0]}").isNotNull()
+        # decomposed MERGE: (target LEFT JOIN source) ∪ (source ANTI
+        # target). Equivalent to the textbook full_outer formulation, but
+        # both joins can BROADCAST the source — a batch-sized merge
+        # against a 10^10-row table never shuffles the table, where a
+        # full_outer join can never use a broadcast build side.
+        proj = []
+        for c in cols:
+            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+            if c in key or c == PARTITION_COL:
+                proj.append(tc.alias(c))
+            elif c in set_cols:
+                proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
+            else:
+                proj.append(tc.alias(c))
+        # no explicit broadcast hint: AQE converts either join to a
+        # broadcast build at runtime when the source side is small; a
+        # bulk-sized source stays sort-merge (column-pruned to keys on
+        # the anti side)
+        kept = t.join(s, cond, "left").select(*proj)
+        merged = kept
+        if insert:
+            inserts = s.join(t, cond, "left_anti").select(
+                *[F.col(f"s.{c}").alias(c) for c in cols]
+            )
+            merged = kept.unionByName(inserts)
+        return merged
+
     def upsert(
         self,
         source: DataFrame,
@@ -241,50 +298,7 @@ class SnapshotTable:
                 source.unpersist()
             return m["snapshot_id"]  # empty merge: no-op, no new snapshot
 
-        target = self.read()
-        cols = target.columns
-        src = source.select(*cols)
-        if set_cols is None:
-            set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
-
-        # MERGE fast path: the affected target partitions hold zero rows
-        # (manifest counters — metadata only). Every source row is an insert;
-        # bulk loads into fresh partitions skip the join entirely (Iceberg's
-        # merge-into-empty == append).
-        tgt_rows = sum(int(m["counters"].get(p, 0)) for p in affected)
-        if tgt_rows == 0:
-            merged = src if insert else src.limit(0)
-        else:
-            tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
-            t, s = tgt.alias("t"), src.alias("s")
-            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
-            matched_s = F.col(f"s.{key[0]}").isNotNull()
-            # decomposed MERGE: (target LEFT JOIN source) ∪ (source ANTI
-            # target). Equivalent to the textbook full_outer formulation, but
-            # both joins can BROADCAST the source — a batch-sized merge
-            # against a 10^10-row table never shuffles the table, where a
-            # full_outer join can never use a broadcast build side.
-            proj = []
-            for c in cols:
-                tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
-                if c in key or c == PARTITION_COL:
-                    proj.append(tc.alias(c))
-                elif c in set_cols:
-                    proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
-                else:
-                    proj.append(tc.alias(c))
-            # no explicit broadcast hint: AQE converts either join to a
-            # broadcast build at runtime when the source side is small; a
-            # bulk-sized source stays sort-merge (column-pruned to keys on
-            # the anti side)
-            kept = t.join(s, cond, "left").select(*proj)
-            merged = kept
-            if insert:
-                inserts = s.join(t, cond, "left_anti").select(
-                    *[F.col(f"s.{c}").alias(c) for c in cols]
-                )
-                merged = kept.unionByName(inserts)
-
+        merged = self._merged_frame(source, set_cols, insert, affected, m)
         new_dirs, new_counts = self._write_partitions(merged, sid)
         if cached:
             source.unpersist()

@@ -122,3 +122,38 @@ def test_atomic_current(spark, table):
     with open(os.path.join(table.path, "CURRENT")) as f:
         m = json.load(f)
     assert m["snapshot_id"] == table.snapshot_id
+
+
+def test_merge_plan_broadcasts_small_source(spark, table):
+    """Scale property: a batch-sized MERGE against a populated table must
+    execute as broadcast joins (the table side never shuffles) — the reason
+    upsert decomposes into left + anti instead of an unbroadcastable
+    full_outer — and a merge into EMPTY partitions must contain no join at
+    all (append fast path)."""
+    bulk = spark.range(5000).select(
+        F.col("id").alias("fingerprint"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(0).alias("state").cast("int"),
+        F.lit(0.5).alias("score"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+    )
+    # append fast path: empty target -> no join nodes anywhere
+    m = table.manifest()
+    merged0 = table._merged_frame(bulk, None, True, {"0", "1", "2", "3"}, m)
+    plan0 = merged0._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0
+    table.upsert(bulk)
+
+    batch = spark.range(64).select(
+        F.col("id").alias("fingerprint"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(1).alias("state").cast("int"),
+        F.lit(0.9).alias("score"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+    )
+    m = table.manifest()
+    merged = table._merged_frame(batch, ["state", "score"], True, {"0", "1", "2", "3"}, m)
+    merged.collect()  # finalize the adaptive plan
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
