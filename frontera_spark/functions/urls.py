@@ -49,6 +49,13 @@ def canonicalize_url(url: str) -> str:
     scheme = scheme.lower()
     host, sep, port = netloc.partition(":")
     host = host.lower().rstrip(".")
+    if not host:
+        # no usable authority (e.g. 'http://.//x'): urlunsplit with an empty
+        # netloc and a path starting '//' would mis-serialize (the path leaks
+        # into authority position on re-parse, breaking idempotence). Such
+        # rows are dropped later by the host IS NULL filter; return the
+        # trimmed input untouched.
+        return url.strip()
     if "@" in host:  # userinfo@host
         userinfo, _, bare = host.rpartition("@")
         host = bare
