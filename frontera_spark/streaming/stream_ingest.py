@@ -143,3 +143,76 @@ def stream_host_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_polite_gate(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    capacity: float = 2.0,
+    refill_per_batch: float = 2.0,
+    queryName: str = "polite_gate",
+):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-host token-bucket admission over the spider-feed stream.
+
+    The batch engine enforces politeness inside the batch generator
+    (core/politeness.py, time-based refill); this is the streaming-mode
+    equivalent frontera's OverusedBuffer played (frontera/core/__init__.py
+    ~20-120): requests for a host beyond its budget are DEFERRED, others
+    served, and the per-host bucket survives across micro-batches as
+    operator state. Deterministic by construction: tokens refill by
+    ``refill_per_batch`` per micro-batch (capped at ``capacity``), requests
+    admit in ``seq`` order — replaying the same batches yields the same
+    decisions, so checkpoint recovery is exactly-once.
+
+    State is one (tokens) row per host — bounded by host count, not by
+    traffic; hosts idle long enough simply sit at the cap.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from frontera_spark.streaming.codecs import decode_feed
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(source_dir)
+    feed = decode_feed(raw.select(F.col("value")))
+
+    out_schema = "host string, seq long, url string, served boolean"
+    state_schema = "tokens double"
+
+    def gate(key, pdf_iter, state):
+        import pandas as pd
+
+        (host,) = key
+        (tokens,) = state.get if state.exists else (float(capacity),)
+        tokens = min(float(capacity), tokens + float(refill_per_batch)) if state.exists else tokens
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("seq")
+            served = []
+            for _ in range(len(pdf)):
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    served.append(True)
+                else:
+                    served.append(False)
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "seq": pdf["seq"].to_numpy(),
+                    "url": pdf["url"].to_numpy(),
+                    "served": served,
+                }
+            )
+        state.update((tokens,))
+
+    gated = feed.groupBy("host").applyInPandasWithState(
+        gate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -136,3 +136,62 @@ def test_stream_host_stats_watermark_windows(spark, tmp_path):
         ("a.test", "2026-01-01 10:00:00"): (2, 1),
         ("b.test", "2026-01-01 10:00:00"): (1, 0),
     }
+
+
+def test_stream_polite_gate_stateful_budget(spark, tmp_path):
+    """applyInPandasWithState token bucket: host budget persists across
+    micro-batches — batch 1 serves up to capacity and defers the rest;
+    batch 2's refill serves exactly refill_per_batch more."""
+    from frontera_spark.streaming.stream_ingest import stream_polite_gate
+
+    src = tmp_path / "feed_in"
+    src.mkdir()
+
+    def feed_msg(fp, host, seq):
+        return json.dumps(
+            {
+                "type": "fetch_request",
+                "fingerprint": fp,
+                "url": f"https://{host}/{seq}",
+                "canonical_url": f"https://{host}/{seq}",
+                "host": host,
+                "score": 0.5,
+                "depth": 0,
+                "seq": seq,
+                "jid": 0,
+                "batch_id": 1,
+            }
+        )
+
+    # batch 1: 4 requests for a.test (capacity 2 -> serve seq 1,2), 1 for b.test
+    (src / "f1.txt").write_text(
+        "\n".join(
+            [feed_msg(i, "a.test", i) for i in (1, 2, 3, 4)]
+            + [feed_msg(10, "b.test", 10)]
+        )
+    )
+    # batch 2: 3 more for a.test (refill 2 -> serve the first two by seq)
+    (src / "f2.txt").write_text("\n".join(feed_msg(i, "a.test", i) for i in (5, 6, 7)))
+
+    q = stream_polite_gate(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_gate"),
+        capacity=2.0,
+        refill_per_batch=2.0,
+        queryName="pg_test",
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from pg_test").collect()
+    served = {(r.host, r.seq): r.served for r in rows}
+    assert served == {
+        ("a.test", 1): True,
+        ("a.test", 2): True,
+        ("a.test", 3): False,
+        ("a.test", 4): False,
+        ("b.test", 10): True,
+        ("a.test", 5): True,
+        ("a.test", 6): True,
+        ("a.test", 7): False,
+    }
