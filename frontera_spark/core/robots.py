@@ -63,10 +63,13 @@ def rules_df(spark: SparkSession, robots_by_host: dict[str, str]) -> DataFrame:
     return spark.createDataFrame(rows or [], "host string, rule string, prefix string")
 
 
-def with_allowed(links: DataFrame, rules: DataFrame) -> DataFrame:
+def with_allowed(links: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """Append ``allowed boolean`` to links(url, host, ...).
 
     Longest-prefix precedence, Allow wins ties, unmatched ⇒ allowed.
+    ``url_col`` selects which column's path the rules match — pass the
+    CANONICAL url where available (percent-encoding tricks like
+    ``/%64eny/`` must not dodge a ``Disallow: /deny`` rule).
 
     Plan shape: broadcast the rule table onto the link stream (inner join —
     links on rule-less hosts drop out immediately and stay un-shuffled),
@@ -74,9 +77,15 @@ def with_allowed(links: DataFrame, rules: DataFrame) -> DataFrame:
     back. The verdict set is rule-HIT-sized — in a healthy crawl a small
     minority — so AQE broadcasts it and the big link side never shuffles.
     """
-    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # a bare-host URL ('https://a.test') parses to PATH '' (not NULL) —
+    # both the empty and the missing case mean the root path, which a
+    # 'Disallow: /' must match
+    raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (F.length(raw_path) == 0), F.lit("/")
+    ).otherwise(raw_path)
     matched = (
-        links.select("url", F.col("host"), path.alias("_path"))
+        links.select(F.col(url_col), F.col("host"), path.alias("_path"))
         .join(F.broadcast(rules), ["host"])
         .filter(F.col("_path").startswith(F.col("prefix")))
     )
@@ -87,8 +96,8 @@ def with_allowed(links: DataFrame, rules: DataFrame) -> DataFrame:
         F.lpad(F.length("prefix").cast("string"), 4, "0"),
         F.when(F.col("rule") == "allow", F.lit("1")).otherwise(F.lit("0")),
     )
-    best = matched.groupBy("url").agg(F.max_by(F.col("rule"), prec).alias("_best_rule"))
-    return links.join(best, ["url"], "left").withColumn(
+    best = matched.groupBy(url_col).agg(F.max_by(F.col("rule"), prec).alias("_best_rule"))
+    return links.join(best, [url_col], "left").withColumn(
         "allowed", F.coalesce(F.col("_best_rule") != "deny", F.lit(True))
     ).drop("_best_rule")
 
@@ -101,6 +110,10 @@ def robots_middleware(rules: DataFrame):
     """
 
     def mw(df: DataFrame) -> DataFrame:
-        return with_allowed(df, rules).filter(F.col("allowed")).drop("allowed")
+        # match on canonical_url: percent-escape normalization has already
+        # run, so '/%64eny/x' cannot dodge a 'Disallow: /deny' rule
+        return with_allowed(df, rules, url_col="canonical_url").filter(
+            F.col("allowed")
+        ).drop("allowed")
 
     return mw

@@ -94,7 +94,10 @@ def canonicalize_urls_udf(urls: pd.Series) -> pd.Series:
     if fast.all():
         return urls
     out = urls.copy()
-    out[~fast] = urls[~fast].map(canonicalize_url)
+    # NULL urls stay NULL (the engine's host IS NULL filter drops them)
+    out[~fast] = urls[~fast].map(
+        lambda u: canonicalize_url(u) if isinstance(u, str) else None
+    )
     return out
 
 
@@ -114,9 +117,16 @@ def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url")
     Python lane sees a trickle — at 10^10 URLs this removes the Arrow
     round-trip (2× full-column serialization) from the schedule hot path.
     """
-    is_fixed = F.col(url_col).rlike(_ALREADY_CANONICAL_JAVA)
+    is_fixed = F.col(url_col).isNotNull() & F.col(url_col).rlike(
+        _ALREADY_CANONICAL_JAVA
+    )
     fixed = df.filter(is_fixed).withColumn(out_col, F.col(url_col))
-    rest = df.filter(~is_fixed).withColumn(out_col, canonicalize_urls_udf(url_col))
+    # ~is_fixed is NULL for NULL urls and would silently drop the row —
+    # route NULLs into this branch too (the UDF maps them to NULL, and the
+    # helper preserves input cardinality for every caller)
+    rest = df.filter(~F.coalesce(is_fixed, F.lit(False))).withColumn(
+        out_col, canonicalize_urls_udf(url_col)
+    )
     return fixed.unionByName(rest)
 
 

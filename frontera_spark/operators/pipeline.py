@@ -34,22 +34,6 @@ _LSH_R = 3
 _LSH_JACCARD_MIN = 0.6
 
 
-def shingles3_col():
-    """Distinct token-3-shingle set of ``text`` (the MinHash input)."""
-    toks = F.split(F.col("text"), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
-
-
 def quality_col():
     """Composite quality score of ``text`` ∈ [0,1] — token count, stopword
     density, mean token length; whole expression JVM-side (identical to the
@@ -112,7 +96,13 @@ def minhash_lsh_pairs_for(
     arbitrary (doc_id, text) DataFrame — the generalized form of the
     oracle-paired q_minhash_lsh_pairs. Candidates come from a (band, band
     signature) EQUI-join; exact Jaccard verifies candidates only. No
-    cartesian product at any size."""
+    cartesian product at any size.
+
+    Note: the shingle and band-signature frames are cached and stay
+    registered for the session (they back the returned lazy result, so they
+    cannot be unpersisted here; Spark evicts LRU under pressure). A
+    production pipeline would write the signature table out instead —
+    at 10^10 docs you persist it anyway."""
     k = bands * r
     toks = F.split(F.col("text"), r"\s+")
     # shingles as NARROW (doc_id, shingle) rows, hash-distinct — not a
@@ -244,6 +234,14 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial labels would diverge from the exact recursive-CTE
+        # oracle on any graph deeper than the cap — fail loudly instead
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iterations} rounds; "
+            "the pair graph has a longer chain — raise max_iterations"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
 
@@ -277,7 +275,11 @@ def clean_corpus(
     counts = {"input": docs.count()}
     d1 = exact_dedup(docs)
     counts["after_exact_dedup"] = d1.count()
-    d2 = neardup_dedup(d1, bands=bands, r=r, jaccard_min=jaccard_min)
+    # cache the post-near-dup survivors: the LSH candidate + verify joins are
+    # the pipeline's dominant cost, and three more consumers follow (two
+    # stage counts + the caller's write) — without this each would re-run
+    # the join chain
+    d2 = neardup_dedup(d1, bands=bands, r=r, jaccard_min=jaccard_min).cache()
     counts["after_neardup_dedup"] = d2.count()
     d3 = d2.withColumn("quality", quality_col()).filter(
         F.col("quality") >= min_quality

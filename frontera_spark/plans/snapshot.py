@@ -298,6 +298,16 @@ class SnapshotTable:
                 source.unpersist()
             return m["snapshot_id"]  # empty merge: no-op, no new snapshot
 
+        # the decomposed merge (left + anti) consumes the source twice; cache
+        # it for the join path so the upstream plan (UDFs, anti-joins) runs
+        # once. The append fast path has a single consumer — caching there
+        # would only add a materialization pass.
+        takes_join_path = (
+            sum(int(m["counters"].get(p, 0)) for p in affected) > 0
+        )
+        if takes_join_path and not cached:
+            source = source.cache()
+            cached = True
         merged = self._merged_frame(source, set_cols, insert, affected, m)
         new_dirs, new_counts = self._write_partitions(merged, sid)
         if cached:

@@ -162,12 +162,18 @@ def stream_polite_gate(
     ~20-120): requests for a host beyond its budget are DEFERRED, others
     served, and the per-host bucket survives across micro-batches as
     operator state. Deterministic by construction: tokens refill by
-    ``refill_per_batch`` per micro-batch (capped at ``capacity``), requests
-    admit in ``seq`` order — replaying the same batches yields the same
-    decisions, so checkpoint recovery is exactly-once.
+    ``refill_per_batch`` per micro-batch IN WHICH THE HOST APPEARS (the
+    state function only runs for present hosts — appearance-based refill,
+    capped at ``capacity``; with the default refill == capacity a returning
+    host always serves at full budget, and a smaller refill throttles a
+    host per feed appearance, not per wall-clock batch — time-based refill
+    lives in the batch scheduler, core/politeness.py). Requests admit in
+    global ``seq`` order within the micro-batch — replaying the same
+    batches yields the same decisions, so checkpoint recovery is
+    exactly-once.
 
     State is one (tokens) row per host — bounded by host count, not by
-    traffic; hosts idle long enough simply sit at the cap.
+    traffic.
     """
     import pandas as pd  # noqa: F401  (worker-side)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -186,23 +192,26 @@ def stream_polite_gate(
         (host,) = key
         (tokens,) = state.get if state.exists else (float(capacity),)
         tokens = min(float(capacity), tokens + float(refill_per_batch)) if state.exists else tokens
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("seq")
-            served = []
-            for _ in range(len(pdf)):
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    served.append(True)
-                else:
-                    served.append(False)
-            yield pd.DataFrame(
-                {
-                    "host": host,
-                    "seq": pdf["seq"].to_numpy(),
-                    "url": pdf["url"].to_numpy(),
-                    "served": served,
-                }
-            )
+        # drain the whole group BEFORE sorting: the iterator yields Arrow
+        # chunks whose boundaries depend on partition layout — sorting each
+        # chunk independently would admit chunk-locally, not in global seq
+        # order, and replay after a repartition could serve different rows
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("seq")
+        served = []
+        for _ in range(len(pdf)):
+            if tokens >= 1.0:
+                tokens -= 1.0
+                served.append(True)
+            else:
+                served.append(False)
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "seq": pdf["seq"].to_numpy(),
+                "url": pdf["url"].to_numpy(),
+                "served": served,
+            }
+        )
         state.update((tokens,))
 
     gated = feed.groupBy("host").applyInPandasWithState(

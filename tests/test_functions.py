@@ -199,3 +199,21 @@ def test_jvm_gate_matches_python_regex(spark):
     assert len(out) == len(set(urls))
     for u in set(urls):
         assert out[u] == canonicalize_url(u), u
+
+
+def test_with_canonical_url_preserves_null_rows(spark):
+    """A NULL url must survive with a NULL canonical (cardinality preserved);
+    the engine's host IS NULL filter is the one place such rows drop."""
+    from pyspark.sql import functions as F
+
+    from frontera_spark.functions.urls import with_canonical_url
+
+    df = spark.createDataFrame(
+        [("https://h.test/ok",), (None,), ("HTTPS://Up.Test/x",)], "url string"
+    )
+    out = with_canonical_url(df).collect()
+    assert len(out) == 3
+    got = {r.url: r.canonical_url for r in out}
+    assert got["https://h.test/ok"] == "https://h.test/ok"
+    assert got[None] is None
+    assert got["HTTPS://Up.Test/x"] == "https://up.test/x"

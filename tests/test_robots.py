@@ -100,3 +100,38 @@ def test_robots_middleware_drops_denied(spark, tmp_path):
     assert n == 2
     urls = {r["canonical_url"] for r in eng.table.read().select("canonical_url").collect()}
     assert urls == {"https://h1.example.test/ok/b", "https://h2.example.test/deny/c"}
+
+
+def test_bare_host_url_hits_root_rules(spark):
+    """'https://a.test' (no trailing slash) parses to PATH '' — it must be
+    treated as '/' so a Disallow: / full ban catches it."""
+    rules = rules_df(spark, {"a.test": "User-agent: *\nDisallow: /\n"})
+    links = spark.createDataFrame(
+        [("https://a.test", "a.test"), ("https://a.test/", "a.test")],
+        "url string, host string",
+    )
+    out = {r["url"]: r["allowed"] for r in with_allowed(links, rules).collect()}
+    assert out == {"https://a.test": False, "https://a.test/": False}
+
+
+def test_middleware_matches_canonical_path(spark, tmp_path):
+    """Percent-encoding must not dodge a deny rule: the middleware matches
+    rules against canonical_url (where %64 has been normalized to 'd')."""
+    from frontera_spark.core.frontier import FrontierEngine
+
+    rules = rules_df(spark, {"h1.example.test": "User-agent: *\nDisallow: /deny\n"})
+    eng = FrontierEngine(
+        spark,
+        str(tmp_path / "eng2"),
+        n_partitions=2,
+        middlewares=[robots_middleware(rules)],
+    )
+    n = eng.add_seeds(
+        spark.createDataFrame(
+            [("https://h1.example.test/%64eny/a",), ("https://h1.example.test/ok",)],
+            "url string",
+        )
+    )
+    assert n == 1
+    urls = {r["canonical_url"] for r in eng.table.read().collect()}
+    assert urls == {"https://h1.example.test/ok"}
