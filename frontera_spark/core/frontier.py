@@ -211,6 +211,16 @@ class FrontierEngine:
 
     def _finalize(self, candidates: DataFrame) -> int:
         """Anti-join seen set, assign seq by discovery order, MERGE QUEUED."""
+        if self.seen is not None:
+            # inline bloom probe (scalar pandas UDF): flags ride along in the
+            # cache fill below, computed once, under the batch's existing
+            # fingerprint partitioning — no repartition("partition_id")
+            # shuffle (P distinct values → ~1/e of P partitions empty → idle
+            # cores), no narrow-probe re-join back to the wide rows
+            candidates = candidates.withColumn(
+                "_maybe",
+                self.seen.maybe_seen_udf()(F.col("partition_id"), F.col("fingerprint")),
+            )
         candidates = candidates.cache()
         # restrict the seen-set scan to partitions this batch can touch —
         # partition pruning turns the exact anti-join from a full-table
@@ -226,16 +236,20 @@ class FrontierEngine:
             .select("fingerprint")
         )
         if self.seen is not None:
-            # bloom+cuckoo pre-filter (probed against shards synced to the
-            # PRE-batch seen set — shard files only change in the add() after
-            # the merge): a narrow (pid, fingerprint) probe finds the "maybe
-            # seen" minority, the exact semi-join confirms true dups, and the
-            # wide candidate rows are anti-joined only against that (small,
-            # AQE-broadcastable) confirmed set — the fresh majority never
-            # shuffles through the seen-set scan
-            maybe = self.seen.maybe_seen(candidates)
-            truly_seen = maybe.join(seen_scan, "fingerprint", "left_semi")
-            fresh = candidates.join(truly_seen, "fingerprint", "left_anti")
+            # bloom pre-filter (probed against shards synced to the PRE-batch
+            # seen set — shard files only change in the add() after the
+            # merge): blooms have no false negatives, so the ~_maybe rows are
+            # definitely new and skip the exact join entirely; only the
+            # "maybe" minority anti-joins the seen-set scan. One join total —
+            # the previous semi+anti decomposition paid two full-size joins
+            # whenever the batch was duplicate-heavy (steady-state re-offers)
+            sure_fresh = candidates.filter(~F.col("_maybe")).drop("_maybe")
+            checked = (
+                candidates.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(seen_scan, "fingerprint", "left_anti")
+            )
+            fresh = sure_fresh.unionByName(checked)
         else:
             fresh = candidates.join(seen_scan, "fingerprint", "left_anti")
 

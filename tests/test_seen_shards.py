@@ -111,6 +111,36 @@ def test_stale_shards_rebuilt_on_load(spark, tmp_path):
     assert eng2.add_seeds(_urls(spark, 0, 250)) == 50
 
 
+def test_maybe_seen_udf_inline_probe(spark, tmp_path):
+    """The scalar-UDF probe (the dedup hot path since r2) keeps bloom
+    semantics — every committed fingerprint flags True, fresh ones ~all
+    False — and adds NO shuffle: partition_id has only P distinct values, so
+    a repartition-based probe idles ~1/e of the cores."""
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=4, use_seen_shards=True)
+    eng.add_seeds(_urls(spark, 0, 200))
+    probe = eng.seen.maybe_seen_udf()
+
+    dup = eng._prepare(_urls(spark, 0, 200)).withColumn(
+        "_maybe", probe(F.col("partition_id"), F.col("fingerprint"))
+    )
+    assert dup.filter(~F.col("_maybe")).count() == 0  # superset: no false negatives
+
+    new = eng._prepare(_urls(spark, 1000, 1200)).withColumn(
+        "_maybe", probe(F.col("partition_id"), F.col("fingerprint"))
+    )
+    assert new.filter(F.col("_maybe")).count() <= 2  # FP ≈ 0 at this load
+
+    # plan shape: probing a shuffle-free input stays shuffle-free
+    flat = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+        F.col("id").alias("fingerprint"),
+    )
+    plan = flat.withColumn(
+        "_maybe", probe(F.col("partition_id"), F.col("fingerprint"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_classify_routes_new_rows_around_the_join(spark, tmp_path):
     """Pre-filter effectiveness: a batch of genuinely-new fingerprints must be
     classified not-seen (no false negatives by construction; FP ≈ 0 at this
