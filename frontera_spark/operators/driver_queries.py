@@ -1539,6 +1539,73 @@ WHERE rk <= 10
 """
 
 
+# ------------------------------------- payload invariant (BASELINE input_hint)
+
+
+def q_payload_invariant(spark, sf_dir):
+    """Per-row payload invariant from the BASELINE input_hint: decode each
+    stored PNG, recompute the reference pixels from the pure (seed, idx)
+    corpus function (sources/corpus.py — no golden files), and check
+    decoded-pixel fidelity (bit-exact for lossless 'png'; PSNR >= 40 dB for
+    quantize-then-PNG 'qpng') plus caption equality, aggregated per fmt.
+
+    Oracle: DuckDB cannot decode PNG, but the corpus is a pure function of
+    (seed=42, idx<400), so the expected per-fmt counts are deterministic —
+    fmt_of is crc32(image_id)-driven: 335 png / 65 qpng for idx<400 — and
+    "every row passes" IS the invariant the oracle pins.
+
+    Scale shape: generate → decode → check is a single mapInPandas pass
+    (no shuffle, no golden-file broadcast); only the final 2-group
+    aggregate shuffles, carrying 4 longs per task."""
+    import numpy as np
+    import pandas as pd
+
+    from frontera_spark.sources.corpus import caption_of, generate_corpus, raw_pixels
+    from frontera_spark.sources.png import decode_png, psnr
+
+    seed, n = 42, 400
+    corpus = generate_corpus(spark, n, seed=seed)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for raw, image_id, caption, fmt in zip(
+                pdf["bytes"], pdf["image_id"], pdf["caption"], pdf["fmt"]
+            ):
+                idx = int(image_id[3:])
+                px = decode_png(bytes(raw))
+                ref = raw_pixels(seed, idx)
+                same_shape = px.shape == ref.shape
+                p = psnr(px, ref) if same_shape else 0.0
+                rows.append(
+                    {
+                        "fmt": fmt,
+                        "psnr_ok": bool(np.isinf(p) or p >= 40.0),
+                        "caption_ok": caption == caption_of(idx),
+                        "bitexact": bool(same_shape and np.array_equal(px, ref)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    checked = corpus.mapInPandas(
+        check, "fmt string, psnr_ok boolean, caption_ok boolean, bitexact boolean"
+    )
+    return checked.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("psnr_ok").cast("bigint")).alias("n_psnr_ok"),
+        F.sum(F.col("caption_ok").cast("bigint")).alias("n_caption_ok"),
+        F.sum(F.col("bitexact").cast("bigint")).alias("n_bitexact"),
+    )
+
+
+SQL_PAYLOAD_INVARIANT = """
+SELECT * FROM (VALUES
+  ('png',  CAST(335 AS BIGINT), CAST(335 AS BIGINT), CAST(335 AS BIGINT), CAST(335 AS BIGINT)),
+  ('qpng', CAST(65 AS BIGINT),  CAST(65 AS BIGINT),  CAST(65 AS BIGINT),  CAST(0 AS BIGINT))
+) AS t(fmt, n_images, n_psnr_ok, n_caption_ok, n_bitexact)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1578,6 +1645,7 @@ QUERIES = {
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
+    "payload_invariant": (q_payload_invariant, SQL_PAYLOAD_INVARIANT),
     # rows-only (engine-internal state: bloom bits / snapshot manifests are
     # not SQL-expressible; driver records the weaker rows-only check)
     "bloom_shard_stats": (q_bloom_shard_stats, None),
