@@ -1539,6 +1539,41 @@ WHERE rk <= 10
 """
 
 
+# --------------------------------------- image near-dup clusters (phash CC)
+
+
+def q_phash_components(spark, sf_dir):
+    """Image near-dup clusters: connected components over the phash-Hamming
+    pair graph (q_phash_neardup_pairs — 16-bit-chunk equi-join candidates,
+    popcount verify ≤ 3, no cartesian), labelled by iterative min-label
+    propagation (operators/pipeline.neardup_components — one edge-set-sized
+    join+groupBy per round, O(diameter) rounds). This is the image-payload
+    analogue of minhash→components for text: cluster-then-keep-canonical is
+    how an image corpus dedups at scale, not greedy pairwise drops. Oracle:
+    exact WITH RECURSIVE closure over the same pair derivation."""
+    from frontera_spark.operators.pipeline import neardup_components
+
+    pairs = q_phash_neardup_pairs(spark, sf_dir)
+    out = neardup_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_PHASH_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_PHASH_NEARDUP_PAIRS}),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+comp(node, lbl) AS (
+  SELECT x, x FROM edges
+  UNION
+  SELECT e.y, c.lbl FROM comp c JOIN edges e ON c.node = e.x
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM comp GROUP BY node
+"""
+
+
 # ------------------------------------- payload invariant (BASELINE input_hint)
 
 
@@ -1640,6 +1675,7 @@ QUERIES = {
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
+    "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
