@@ -226,7 +226,12 @@ class FrontierEngine:
         # partition pruning turns the exact anti-join from a full-table
         # shuffle into an affected-partitions one (bloom shards in
         # core/seen.py cut the remainder)
-        pids = [r.partition_id for r in candidates.select("partition_id").distinct().collect()]
+        # per-partition counts (not just distinct pids): the same cache-fill
+        # job also tells us the batch size, which gates the seq-assignment
+        # strategy below
+        pid_rows = candidates.groupBy("partition_id").count().collect()
+        pids = [r["partition_id"] for r in pid_rows]
+        n_candidates = int(sum(r["count"] for r in pid_rows))
         if not pids:
             candidates.unpersist()
             return 0
@@ -278,11 +283,19 @@ class FrontierEngine:
         # cumulative offsets (one tiny P-row collect). Robots-skipped rows are
         # recorded in the seen set but get no queue seq (parity: oracle assigns
         # seq only to QUEUED rows).
-        ranged = (
-            fresh.repartitionByRange(self.n_partitions, "_o1", "_o2")
-            .withColumn("_spid", F.spark_partition_id())
-            .cache()
-        )
+        # small batches (the steady-state crawl loop schedules a few thousand
+        # links per iteration) skip repartitionByRange — its sampling pass is
+        # a whole extra job, and a one-task sort of <=256k rows is cheaper
+        # than 32 tiny range partitions. Large batches (bulk seed loads) keep
+        # the range path: global order without a single-partition sort.
+        if n_candidates <= (1 << 18):
+            ranged = fresh.coalesce(1).withColumn("_spid", F.spark_partition_id()).cache()
+        else:
+            ranged = (
+                fresh.repartitionByRange(self.n_partitions, "_o1", "_o2")
+                .withColumn("_spid", F.spark_partition_id())
+                .cache()
+            )
         qcounts = {
             r["_spid"]: r["cnt"]
             for r in ranged.filter(F.col("state") == STATE_QUEUED)
