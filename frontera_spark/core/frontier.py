@@ -523,16 +523,18 @@ class FrontierEngine:
             self.table._write_manifest(m)
             marked.unpersist()
             return marked.limit(0)
-        pids = [r["partition_id"] for r in pid_counts]
         if mark:
             # ``mark=False`` skips this merge for fused loops that commit
-            # CRAWLED for the whole batch before the next pop anyway
-            self.table.upsert(
-                marked,
-                set_cols=["batch_id"],
-                insert=False,
+            # CRAWLED for the whole batch before the next pop anyway.
+            # Merge-on-read: the batch_id mark is an overlay delta, NOT a
+            # partition rewrite — a pop touches every partition (per-
+            # partition top-k), so a COW mark would rewrite the whole
+            # 10^10-row frontier per iteration; the delta is O(batch) and
+            # gets absorbed by the next state-transition COW merge
+            self.table.add_marks(
+                marked.select("fingerprint", "partition_id", "batch_id"),
+                mark_cols=["batch_id"],
                 meta={"iteration": iteration},
-                affected_pids=pids,
             )
         else:
             m = self.table.manifest()

@@ -337,7 +337,11 @@ class PoliteScheduler:
             .select("fingerprint", "partition_id", "batch_id", "state")
             .unionByName(robots)
         ).cache()
-        touched = marks.groupBy("partition_id").count().collect()
+        touched = (
+            marks.groupBy("partition_id", F.col("batch_id").isNotNull().alias("_served"))
+            .count()
+            .collect()
+        )
         if not touched:
             # nothing servable this tick — still advance the crawl clock so
             # token buckets refill on the next pop (else throttled hosts
@@ -350,20 +354,35 @@ class PoliteScheduler:
             marks.unpersist()
             decisions.unpersist()
             return engine.table.read().limit(0)
-        full = (
-            marks.join(
-                engine.table.read().drop("batch_id", "state"),
-                ["fingerprint", "partition_id"],
-                "inner",
+        # robots skips change ``state`` → COW merge (state stays a base
+        # column so its parquet pushdown survives); rare relative to serves
+        robots_pids = [r["partition_id"] for r in touched if not r["_served"]]
+        if robots_pids:
+            full_rob = (
+                marks.filter(F.col("batch_id").isNull())
+                .join(
+                    engine.table.read().drop("batch_id", "state"),
+                    ["fingerprint", "partition_id"],
+                    "inner",
+                )
+                .select(*FRONTIER_COLS)
             )
-            .select(*FRONTIER_COLS)
-        )
-        engine.table.upsert(
-            full,
-            set_cols=["batch_id", "state"],
-            insert=False,
+            engine.table.upsert(
+                full_rob,
+                set_cols=["state"],
+                insert=False,
+                affected_pids=robots_pids,
+            )
+        # served rows only get a batch_id → merge-on-read overlay mark, no
+        # partition rewrite (O(batch), same as FrontierEngine's pop). An
+        # empty serve set still commits (meta-only) so the crawl clock /
+        # token refill keeps ticking
+        engine.table.add_marks(
+            marks.filter(F.col("batch_id").isNotNull()).select(
+                "fingerprint", "partition_id", "batch_id"
+            ),
+            mark_cols=["batch_id"],
             meta={"iteration": iteration},
-            affected_pids=[r["partition_id"] for r in touched],
         )
 
         # domain write-back MERGE (the DomainCache batched flush)

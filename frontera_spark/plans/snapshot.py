@@ -108,15 +108,13 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ read
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        m = self.manifest(snapshot_id)
-        dirs = [d for ds in m["dirs"].values() for d in ds]
+    def _read_leaf_dirs(self, dirs: list[str]) -> DataFrame | None:
+        """Union-read a set of relative leaf dirs, grouped by snapshot root so
+        each root is one partitioned-table read (its own basePath →
+        partition_id recovered + pruned). Filters on partition_id push
+        through the union into every branch's PartitionFilters."""
         if not dirs:
-            return self.spark.createDataFrame([], m["schema"])
-        # group leaf dirs by snapshot root: each root is one partitioned-table
-        # read (its own basePath → partition_id recovered + pruned); roots are
-        # unioned. Filters on partition_id push through the union into every
-        # branch's PartitionFilters.
+            return None
         by_root: dict[str, list[str]] = {}
         for d in sorted(set(dirs)):
             root = d.split("/", 1)[0]
@@ -130,6 +128,37 @@ class SnapshotTable:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def read(self, snapshot_id: int | None = None, with_marks: bool = True) -> DataFrame:
+        m = self.manifest(snapshot_id)
+        base = self._read_leaf_dirs([d for ds in m["dirs"].values() for d in ds])
+        if base is None:
+            return self.spark.createDataFrame([], m["schema"])
+        marks = m.get("marks", {})
+        if not with_marks or not marks:
+            return base
+        # merge-on-read overlay (add_marks): latest mark per key overrides the
+        # base values of mark_cols. The overlay is bounded by in-flight
+        # batches (every COW commit absorbs-and-drops its partitions' marks),
+        # so the build side broadcasts — the base table never shuffles here.
+        # Base columns OUTSIDE mark_cols stay scan-accurate, so their filters
+        # still push down to parquet; mark_cols filters evaluate post-join.
+        key = m["key"]
+        mark_cols = m["mark_cols"]
+        mk = self._read_leaf_dirs([d for ds in marks.values() for d in ds])
+        latest = (
+            mk.groupBy(*key)
+            .agg(F.max_by(F.struct(*mark_cols), F.col("_mseq")).alias("_mk"))
+            .withColumn("_mhit", F.lit(True))
+        )
+        joined = base.join(F.broadcast(latest), key, "left")
+        sel = [
+            F.when(F.col("_mhit"), F.col(f"_mk.{c}")).otherwise(F.col(c)).alias(c)
+            if c in mark_cols
+            else F.col(c)
+            for c in base.columns
+        ]
+        return joined.select(*sel)
 
     def counters(self, snapshot_id: int | None = None) -> dict:
         return self.manifest(snapshot_id)["counters"]
@@ -191,6 +220,11 @@ class SnapshotTable:
         counters = {p: c for p, c in prev["counters"].items() if p not in affected}
         dirs.update(new_dirs)
         counters.update(new_counts)
+        # a COW rewrite reads through the mark overlay (read() applies it), so
+        # the rewritten partitions have the marks baked in — drop them
+        marks = {
+            p: ds for p, ds in prev.get("marks", {}).items() if p not in affected
+        }
         manifest = {
             "snapshot_id": sid,
             "parent_id": prev["snapshot_id"],
@@ -198,11 +232,78 @@ class SnapshotTable:
             "key": prev["key"],
             "dirs": dirs,
             "counters": counters,
+            "marks": marks,
+            "mark_cols": prev.get("mark_cols"),
             "meta": {**prev.get("meta", {}), **(meta or {})},
             "committed_at": time.time(),
         }
         self._write_manifest(manifest)
         return sid
+
+    # ------------------------------------------------- merge-on-read marks
+
+    def add_marks(self, src: DataFrame, mark_cols: list[str], meta: dict | None = None) -> int:
+        """Merge-on-read UPDATE: record a (key → mark_cols) overlay for
+        EXISTING rows without rewriting any data partition. ``read()``
+        applies latest-mark-wins; any COW commit absorbs and drops its
+        partitions' marks. This is what makes a destructive pop O(batch):
+        marking 64k popped rows appends a 64k-row delta instead of
+        rewriting every touched 10^8-row partition (Iceberg v2
+        merge-on-read delete/update files have the same shape).
+
+        An empty ``src`` still commits a snapshot (meta-only — the crawl
+        clock advances even when nothing was servable)."""
+        m = self.manifest()
+        prev_cols = m.get("mark_cols")
+        if prev_cols and set(prev_cols) != set(mark_cols):
+            raise ValueError(f"mark_cols {mark_cols} != table's {prev_cols}")
+        sid = m["snapshot_id"] + 1
+        rel = f"marks-{sid}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self._data_root, rel)
+        cols = m["key"] + [PARTITION_COL] + list(mark_cols)
+        (
+            src.select(*cols)
+            .withColumn("_mseq", F.lit(sid).cast("long"))
+            .repartition(PARTITION_COL)
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(out)
+        )
+        marks = {p: list(ds) for p, ds in m.get("marks", {}).items()}
+        for entry in os.listdir(out):
+            if entry.startswith(f"{PARTITION_COL}="):
+                pid = entry.split("=", 1)[1]
+                marks.setdefault(pid, []).append(f"{rel}/{entry}")
+        manifest = {
+            **m,
+            "snapshot_id": sid,
+            "parent_id": m["snapshot_id"],
+            "marks": marks,
+            "mark_cols": list(mark_cols),
+            "meta": {**m.get("meta", {}), **(meta or {})},
+            "committed_at": time.time(),
+        }
+        self._write_manifest(manifest)
+        return sid
+
+    def clear_marks(self, meta: dict | None = None) -> int:
+        """Drop every live mark (metadata-only commit). Crash recovery for
+        in-flight feed batches: un-absorbed marks are by definition marks
+        whose results never committed, so clearing them re-queues exactly
+        the in-flight rows — no data rewrite."""
+        m = self.manifest()
+        if not m.get("marks") and not meta:
+            return m["snapshot_id"]
+        manifest = {
+            **m,
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "marks": {},
+            "meta": {**m.get("meta", {}), **(meta or {})},
+            "committed_at": time.time(),
+        }
+        self._write_manifest(manifest)
+        return manifest["snapshot_id"]
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         """Replace the whole table (bulk loads)."""

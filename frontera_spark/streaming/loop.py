@@ -209,6 +209,13 @@ class CrawlLoop:
         between mark and page_crawled): clear their batch_id so the next pop
         sees them again. Fetching is deterministic → replay is idempotent."""
         t = self.engine.table
+        # un-absorbed overlay marks are exactly the in-flight feed rows whose
+        # results never committed — dropping them re-queues those rows with a
+        # metadata-only commit, no data rewrite
+        t.clear_marks()
+        # marks that a COW merge already absorbed into base batch_id (e.g.
+        # page_crawled rewrote the partition while sibling rows were still in
+        # flight) need the data-path clear below
         stuck = t.read().filter(
             (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNotNull()
         )

@@ -157,3 +157,66 @@ def test_merge_plan_broadcasts_small_source(spark, table):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- merge-on-read marks
+
+
+def test_add_marks_overlay_no_rewrite(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 1)]))
+    m1 = table.manifest()
+    marks = spark.createDataFrame([(1, 0, 7)], "fingerprint long, partition_id int, state int")
+    table.add_marks(marks, mark_cols=["state"])
+    m2 = table.manifest()
+    # O(batch) property: NO data partition was rewritten — only an overlay
+    assert m2["dirs"] == m1["dirs"]
+    assert m2["counters"] == m1["counters"]
+    assert "0" in m2["marks"] and "1" not in m2["marks"]
+    got = {r.fingerprint: r for r in table.read().collect()}
+    assert got[1].state == 7, "overlay must override the base value"
+    assert got[1].score == 0.5, "non-mark columns come from base"
+    assert got[2].state == 0
+    # base view bypasses the overlay
+    raw = {r.fingerprint: r for r in table.read(with_marks=False).collect()}
+    assert raw[1].state == 0
+
+
+def test_cow_absorbs_marks(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 0)]))
+    marks = spark.createDataFrame([(1, 0, 7)], "fingerprint long, partition_id int, state int")
+    table.add_marks(marks, mark_cols=["state"])
+    # COW merge on partition 0 (updates row 2) must bake row 1's mark into
+    # the rewritten files and drop the mark
+    table.upsert(_df(spark, [(2, "b", 3, 0.5, 0)]), set_cols=["state"])
+    assert table.manifest()["marks"] == {}
+    raw = {r.fingerprint: r for r in table.read(with_marks=False).collect()}
+    assert raw[1].state == 7, "absorbed mark must survive in base data"
+    assert raw[2].state == 3
+
+
+def test_clear_marks_metadata_only(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    marks = spark.createDataFrame([(1, 0, 9)], "fingerprint long, partition_id int, state int")
+    table.add_marks(marks, mark_cols=["state"])
+    assert table.read().collect()[0].state == 9
+    table.clear_marks()
+    assert table.manifest()["marks"] == {}
+    assert table.read().collect()[0].state == 0, "cleared marks revert to base"
+
+
+def test_empty_marks_commit_advances_meta(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    sid0 = table.snapshot_id
+    empty = spark.createDataFrame([], "fingerprint long, partition_id int, state int")
+    table.add_marks(empty, mark_cols=["state"], meta={"iteration": 42})
+    assert table.snapshot_id == sid0 + 1
+    assert table.manifest()["meta"]["iteration"] == 42
+    assert table.manifest()["marks"] == {}
+
+
+def test_latest_mark_wins(spark, table):
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    mk = lambda v: spark.createDataFrame([(1, 0, v)], "fingerprint long, partition_id int, state int")
+    table.add_marks(mk(5), mark_cols=["state"])
+    table.add_marks(mk(6), mark_cols=["state"])
+    assert table.read().collect()[0].state == 6
