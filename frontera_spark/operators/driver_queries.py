@@ -1422,6 +1422,47 @@ def q_snapshot_lineage(spark, sf_dir):
     )
 
 
+def q_snapshot_time_travel(spark, sf_dir):
+    """Snapshot time travel + rollback (north rule: resumable mid-crawl from
+    any retained snapshot): load documents as snapshot 1, delete_where
+    doc_id%3==0 as snapshot 2, then read v1 by snapshot id, read CURRENT,
+    and roll back to v1 — the three counts the oracle recomputes straight
+    from the documents table. Exercises the manifest chain end-to-end
+    (manifest-N retained, CURRENT swung atomically, rollback = re-point)."""
+    import tempfile
+
+    from frontera_spark.plans.snapshot import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 4).cast("int").alias("partition_id"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    t = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="timetravel_") + "/t",
+        "doc_id bigint, partition_id int, score double",
+        key=["doc_id"],
+    )
+    sid1 = t.upsert(docs)
+    t.delete_where(F.col("doc_id") % 3 == 0)
+    n_v1 = t.read(snapshot_id=sid1).count()
+    n_v2 = t.read().count()
+    t.rollback(sid1)
+    n_rb = t.read().count()
+    return spark.createDataFrame(
+        [(n_v1, n_v2, n_rb)],
+        "n_v1 bigint, n_v2 bigint, n_after_rollback bigint",
+    )
+
+
+SQL_SNAPSHOT_TIME_TRAVEL = """
+SELECT (SELECT COUNT(*) FROM documents) AS n_v1,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS n_v2,
+       (SELECT COUNT(*) FROM documents) AS n_after_rollback
+"""
+
+
 # ------------------------- document fingerprinting: token rolling hash (Rabin-Karp)
 
 
@@ -1682,6 +1723,7 @@ QUERIES = {
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
     "payload_invariant": (q_payload_invariant, SQL_PAYLOAD_INVARIANT),
+    "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
     # rows-only (engine-internal state: bloom bits / snapshot manifests are
     # not SQL-expressible; driver records the weaker rows-only check)
     "bloom_shard_stats": (q_bloom_shard_stats, None),
