@@ -220,3 +220,31 @@ def test_latest_mark_wins(spark, table):
     table.add_marks(mk(5), mark_cols=["state"])
     table.add_marks(mk(6), mark_cols=["state"])
     assert table.read().collect()[0].state == 6
+
+
+def test_marks_overlay_plan_broadcasts_and_keeps_pushdown(spark, table):
+    """Scale properties of the merge-on-read overlay: the mark side joins as
+    a BROADCAST build (the base table never shuffles to apply marks), and
+    filters on non-mark base columns still reach the parquet scan as
+    PushedFilters — the overlay must not cost the queue read its
+    state/partition pruning."""
+    bulk = spark.range(5000).select(
+        F.col("id").alias("fingerprint"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(0).alias("state").cast("int"),
+        F.lit(0.5).alias("score"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+    )
+    table.upsert(bulk)
+    marks = spark.range(64).select(
+        F.col("id").alias("fingerprint"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+        F.lit(0.9).alias("score"),
+    )
+    table.add_marks(marks, mark_cols=["score"])
+    q = table.read().filter((F.col("state") == 0) & (F.col("partition_id") == 1))
+    q.collect()  # finalize the adaptive plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(state), EqualTo(state,0)" in plan, plan
