@@ -268,6 +268,17 @@ class FrontierEngine:
             "state",
             F.coalesce(state, F.lit(STATE_QUEUED)) if self.robots_deny_hosts else F.lit(STATE_QUEUED),
         )
+        # storage-boundary url compression: the steady-state crawl's links are
+        # overwhelmingly already-canonical, so storing the original url only
+        # when it DIFFERS from canonical_url (else NULL — parquet RLE makes a
+        # null column ~free) cuts the widest column out of the 10^10-row
+        # table; read paths that surface the feed reconstruct it with
+        # coalesce(url, canonical_url)
+        fresh = fresh.withColumn(
+            "url",
+            F.when(F.col("url") == F.col("canonical_url"), F.lit(None).cast("string"))
+            .otherwise(F.col("url")),
+        )
         # materialize the anti-join once; the all-duplicates case (steady-
         # state re-offers) exits before paying the range-partitioner's
         # sampling pass and the offsets machinery below
@@ -435,10 +446,15 @@ class FrontierEngine:
         # re-queued rows carry crawl_at; they re-enter the feed only once the
         # deterministic crawl clock (1 iteration = 1 tick) reaches it
         now = F.timestamp_seconds(F.lit(iteration))
-        cand = self.table.read().filter(
-            (F.col("state") == STATE_QUEUED)
-            & F.col("batch_id").isNull()
-            & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
+        cand = (
+            self.table.read()
+            .filter(
+                (F.col("state") == STATE_QUEUED)
+                & F.col("batch_id").isNull()
+                & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
+            )
+            # reconstruct the storage-nulled original url (see _finalize)
+            .withColumn("url", F.coalesce("url", "canonical_url"))
         )
         if max_pending is not None:
             lag = self.pending_counts()  # one P-row metadata-cheap collect

@@ -403,6 +403,8 @@ class PoliteScheduler:
             .select("fingerprint", "partition_id")
             .join(engine.table.read(), ["fingerprint", "partition_id"], "inner")
             .select(*FRONTIER_COLS)
+            # reconstruct the storage-nulled original url (frontier._finalize)
+            .withColumn("url", F.coalesce("url", "canonical_url"))
             # dispatch-time epoch stamp (see FrontierEngine.get_next_requests)
             .withColumn("jid", F.lit(engine.jid).cast("int"))
         ).cache()
