@@ -198,16 +198,13 @@ class FrontierEngine:
             .withColumn("host_crc32", crc32_signed_col(F.col("host")))
             .withColumn("partition_id", partition_id_col(F.col("host"), self.n_partitions))
         )
-        # in-batch dedup: keep the earliest discovery (order = (_o1,_o2)).
-        # Hash-aggregate min_by instead of a per-key window: same semantics
-        # (struct comparison is lexicographic), but no sort — an 8M-row batch
-        # skips a full shuffle-sort, and the output stays hash-partitioned on
-        # fingerprint so the downstream seen-set anti-join reuses the exchange
-        others = [c for c in df.columns if c != "fingerprint"]
-        agg = df.groupBy("fingerprint").agg(
-            F.min_by(F.struct(*others), F.struct("_o1", "_o2")).alias("_r")
-        )
-        return agg.select("fingerprint", *[F.col(f"_r.{c}").alias(c) for c in others])
+        # in-batch dedup (keep earliest discovery) happens in _finalize AFTER
+        # the seen-set filter: a fingerprint is either wholly seen (all its
+        # in-batch rows drop — the wide min_by aggregate never sees them) or
+        # wholly fresh (min_by picks the earliest, same result as deduping
+        # first). On steady-state re-offers — the dedup-heavy path — this
+        # ordering makes the wide-row shuffle run on ~zero rows.
+        return df
 
     def _finalize(self, candidates: DataFrame) -> int:
         """Anti-join seen set, assign seq by discovery order, MERGE QUEUED."""
@@ -235,8 +232,10 @@ class FrontierEngine:
         if not pids:
             candidates.unpersist()
             return 0
+        # membership scan: marks never change the key set, so skip the
+        # overlay join entirely — base scan, partition-pruned, key column only
         seen_scan = (
-            self.table.read()
+            self.table.read(with_marks=False)
             .filter(F.col("partition_id").isin(pids))
             .select("fingerprint")
         )
@@ -257,6 +256,18 @@ class FrontierEngine:
             fresh = sure_fresh.unionByName(checked)
         else:
             fresh = candidates.join(seen_scan, "fingerprint", "left_anti")
+
+        # in-batch dedup: keep the earliest discovery (order = (_o1,_o2)).
+        # Hash-aggregate min_by instead of a per-key window: same semantics
+        # (struct comparison is lexicographic) with no sort. Runs AFTER the
+        # seen filter (see _prepare) so an all-duplicates re-offer aggregates
+        # nothing, and when the anti-join dominated the input the groupBy
+        # reuses its fingerprint exchange.
+        others = [c for c in fresh.columns if c != "fingerprint"]
+        agg = fresh.groupBy("fingerprint").agg(
+            F.min_by(F.struct(*others), F.struct("_o1", "_o2")).alias("_r")
+        )
+        fresh = agg.select("fingerprint", *[F.col(f"_r.{c}").alias(c) for c in others])
 
         state = (
             F.when(F.col("host").isin(list(self.robots_deny_hosts)), F.lit(STATE_SKIPPED_ROBOTS))
@@ -400,6 +411,34 @@ class FrontierEngine:
         df = links.withColumn("_o1", F.col("parent_seq")).withColumn("_o2", F.col("link_pos"))
         return self._finalize(self._prepare(df.select("url", "depth", "_o1", "_o2")))
 
+    def _queued_scan(self, iteration: int | None) -> DataFrame:
+        """Poppable candidates with parquet pushdown INTACT under live marks.
+
+        Filtering ``batch_id IS NULL`` above the merge-on-read overlay join
+        blocks every pushdown (the overlay wraps batch_id in a join-dependent
+        CASE). But the engine's marks only ever SET batch_id (pops stamp the
+        iteration; nothing writes a NULL mark), so:
+
+            post-overlay batch_id IS NULL
+              ⟺ base batch_id IS NULL AND key has no live mark.
+
+        Scan the BASE table — state/batch_id/crawl_at all reach the parquet
+        readers as PushedFilters — and broadcast-anti-join the bounded
+        live-mark key set. With no live marks this is exactly the base scan.
+        """
+        cand = self.table.read(with_marks=False).filter(
+            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
+        )
+        if iteration is not None:
+            # revisit clock gate; ``None`` keeps not-yet-due rows (callers
+            # asking "could anything EVER be served", e.g. has_pending)
+            now = F.timestamp_seconds(F.lit(iteration))
+            cand = cand.filter(F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
+        mk = self.table.read_mark_keys()
+        if mk is not None:
+            cand = cand.join(F.broadcast(mk), ["fingerprint", "partition_id"], "left_anti")
+        return cand
+
     # ---------------------------------------------------------------- popping
 
     def get_next_requests(
@@ -444,17 +483,12 @@ class FrontierEngine:
         iteration = self.iteration + 1
         # revisiting (frontera/contrib/backends/sqlalchemy/revisiting.py):
         # re-queued rows carry crawl_at; they re-enter the feed only once the
-        # deterministic crawl clock (1 iteration = 1 tick) reaches it
-        now = F.timestamp_seconds(F.lit(iteration))
-        cand = (
-            self.table.read()
-            .filter(
-                (F.col("state") == STATE_QUEUED)
-                & F.col("batch_id").isNull()
-                & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
-            )
+        # deterministic crawl clock (1 iteration = 1 tick) reaches it.
+        # _queued_scan keeps the state/batch_id/crawl_at pushdown alive even
+        # with live pop marks (base scan + mark-key anti-join).
+        cand = self._queued_scan(iteration).withColumn(
             # reconstruct the storage-nulled original url (see _finalize)
-            .withColumn("url", F.coalesce("url", "canonical_url"))
+            "url", F.coalesce("url", "canonical_url")
         )
         if max_pending is not None:
             lag = self.pending_counts()  # one P-row metadata-cheap collect
@@ -614,7 +648,14 @@ class FrontierEngine:
         return n
 
     def _mark(self, src: DataFrame) -> None:
-        full = src.join(
-            self.table.read().drop("state"), ["fingerprint", "partition_id"], "inner"
-        ).select(*FRONTIER_COLS)
-        self.table.upsert(full, set_cols=["state"], insert=False)
+        """Narrow state-transition MERGE: (fingerprint, partition_id, state)
+        is all the merge needs — SnapshotTable accepts update-only sources,
+        so there is no reconstruction join against the full frontier, and
+        the target scan inside the merge prunes to the batch's partitions.
+        At 10^10 rows this is the difference between O(batch) and O(table)
+        per page_crawled/request_error call."""
+        self.table.upsert(
+            src.select("fingerprint", "partition_id", "state"),
+            set_cols=["state"],
+            insert=False,
+        )

@@ -99,9 +99,26 @@ class PoliteScheduler:
     def _ordering_cols(self, df: DataFrame, iteration: int) -> DataFrame:
         """Materialize the strategy ordering as two ascending sort columns so
         the pandas walk needs no strategy-specific code (built-ins and
-        CustomStrategy both supply them via Strategy.pandas_order)."""
+        CustomStrategy both supply them via Strategy.pandas_order).
+
+        The columns MUST be integral: the walk's robots cutoff captures them
+        through int() (``_cut1``/``_cut2``), so a double or string ordering
+        column would silently truncate — or crash — the cutoff key and
+        corrupt which denied rows get SKIPPED_ROBOTS. Validated here so a
+        CustomStrategy.pandas_order_fn returning the wrong type fails loudly
+        at pop time, not probabilistically inside the pandas walk."""
         o1, o2 = self.engine.strategy.pandas_order(iteration)
-        return df.withColumn("_ord1", o1).withColumn("_ord2", o2)
+        out = df.withColumn("_ord1", o1).withColumn("_ord2", o2)
+        integral = {"byte", "short", "int", "integer", "bigint", "long"}
+        for name in ("_ord1", "_ord2"):
+            dt = out.schema[name].dataType.simpleString()
+            if dt not in integral:
+                raise TypeError(
+                    f"pandas_order must return integral sort columns; "
+                    f"{name} is {dt} (strategy "
+                    f"{self.engine.strategy.name!r}) — cast to long"
+                )
+        return out
 
     def decide(
         self,
@@ -138,13 +155,9 @@ class PoliteScheduler:
         token_cap = self.token_cap
         mph = max_per_host
 
-        now = F.timestamp_seconds(F.lit(iteration))
-        cand = engine.table.read().filter(
-            (F.col("state") == STATE_QUEUED)
-            & F.col("batch_id").isNull()
-            & (F.col("crawl_at").isNull() | (F.col("crawl_at") <= now))
-        )
-        cand = self._ordering_cols(cand, iteration)
+        # pushdown-preserving candidate scan (base table + mark-key anti-join
+        # — see FrontierEngine._queued_scan)
+        cand = self._ordering_cols(engine._queued_scan(iteration), iteration)
         pol = domains.read().select(
             "host", "robots_allow", "delay_s", "budget", "tokens", "last_refill", "fetched"
         )
@@ -358,17 +371,12 @@ class PoliteScheduler:
         # column so its parquet pushdown survives); rare relative to serves
         robots_pids = [r["partition_id"] for r in touched if not r["_served"]]
         if robots_pids:
-            full_rob = (
-                marks.filter(F.col("batch_id").isNull())
-                .join(
-                    engine.table.read().drop("batch_id", "state"),
-                    ["fingerprint", "partition_id"],
-                    "inner",
-                )
-                .select(*FRONTIER_COLS)
-            )
+            # narrow UPDATE source — the merge needs only key + state; no
+            # reconstruction join against the frontier (frontier._mark shape)
             engine.table.upsert(
-                full_rob,
+                marks.filter(F.col("batch_id").isNull()).select(
+                    "fingerprint", "partition_id", "state"
+                ),
                 set_cols=["state"],
                 insert=False,
                 affected_pids=robots_pids,
@@ -416,9 +424,9 @@ class PoliteScheduler:
     def has_pending(self) -> bool:
         """True if some QUEUED row can eventually be served (host not robots-
         denied, budget not exhausted) — the loop-termination predicate."""
-        cand = self.engine.table.read().filter(
-            (F.col("state") == STATE_QUEUED) & F.col("batch_id").isNull()
-        )
+        # iteration=None: a row with a FUTURE crawl_at is still pending —
+        # the loop must keep ticking the clock until it comes due
+        cand = self.engine._queued_scan(None)
         pol = self.domains.read().select("host", "robots_allow", "budget", "fetched")
         j = cand.join(pol, "host", "left")
         serveable = j.filter(

@@ -25,8 +25,10 @@ Users extend by instantiating :class:`CustomStrategy` (no engine edits):
 pseudo-random orders); ``link_filter`` is applied to extracted links after
 canonicalization (columns available: url, canonical_url, host, depth) —
 frontera's ``filter_extracted_links``; ``pandas_order_fn`` must return TWO
-ascending sort columns and is only required when the strategy is used with
-the politeness scheduler's pandas walk.
+ascending **integral** (long-castable) sort columns — the politeness walk's
+robots cutoff stores them as int64, so doubles/strings are rejected at pop
+time — and is only required when the strategy is used with the politeness
+scheduler's pandas walk.
 """
 
 from __future__ import annotations

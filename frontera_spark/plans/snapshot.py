@@ -143,7 +143,12 @@ class SnapshotTable:
         # so the build side broadcasts — the base table never shuffles here.
         # Base columns OUTSIDE mark_cols stay scan-accurate, so their filters
         # still push down to parquet; mark_cols filters evaluate post-join.
-        key = m["key"]
+        # overlay keyed on (key, partition_id), not the manifest key alone:
+        # add_marks records partition_id, and nothing in its generic API
+        # guarantees a key value exists in only one partition — keying on the
+        # full pair means a duplicate key in two partitions can never have one
+        # partition's mark override both rows
+        key = m["key"] + [PARTITION_COL]
         mark_cols = m["mark_cols"]
         mk = self._read_leaf_dirs([d for ds in marks.values() for d in ds])
         latest = (
@@ -162,6 +167,23 @@ class SnapshotTable:
 
     def counters(self, snapshot_id: int | None = None) -> dict:
         return self.manifest(snapshot_id)["counters"]
+
+    def read_mark_keys(self) -> DataFrame | None:
+        """Distinct (key, partition_id) of every LIVE overlay mark, or None
+        when no marks are live. Bounded by in-flight batches (COW commits
+        absorb their partitions' marks), so callers can broadcast it.
+
+        This is the pushdown-preserving complement to ``read()``: a scan that
+        only needs "rows NOT currently marked" can filter the BASE table
+        (where every predicate still reaches parquet) and anti-join this key
+        set, instead of filtering above the overlay join where nothing pushes
+        down."""
+        m = self.manifest()
+        marks = m.get("marks", {})
+        if not marks:
+            return None
+        mk = self._read_leaf_dirs([d for ds in marks.values() for d in ds])
+        return mk.select(*m["key"], PARTITION_COL).distinct()
 
     # ----------------------------------------------------------------- write
 
@@ -327,9 +349,22 @@ class SnapshotTable:
         key = m["key"]
         target = self.read()
         cols = target.columns
-        src = source.select(*cols)
         if set_cols is None:
             set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
+        if insert or set(cols) <= set(source.columns):
+            src = source.select(*cols)
+        else:
+            # narrow UPDATE-only source: the merge projection below reads
+            # nothing from the source beyond key + set_cols, so an update
+            # batch may arrive as just those columns — no caller-side
+            # reconstruction join against the (10^10-row) target to widen it
+            need = list(dict.fromkeys(key + [c for c in set_cols if c != PARTITION_COL]))
+            missing = [c for c in need if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"update source missing {missing}; needs key {key} + set_cols {set_cols}"
+                )
+            src = source.select(*need)
 
         # MERGE fast path: the affected target partitions hold zero rows
         # (manifest counters — metadata only). Every source row is an insert;
@@ -337,7 +372,9 @@ class SnapshotTable:
         # merge-into-empty == append).
         tgt_rows = sum(int(m["counters"].get(p, 0)) for p in affected)
         if tgt_rows == 0:
-            return src if insert else src.limit(0)
+            # update against empty partitions matches nothing — full-schema
+            # empty frame (a narrow src would miss partition_id downstream)
+            return src if insert else target.limit(0)
 
         tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
         t, s = tgt.alias("t"), src.alias("s")
