@@ -70,12 +70,31 @@ def load_object(path: str) -> Any:
         raise NameError(f"load_object: {name!r} not found in {module_path!r}") from e
 
 
-def _coerce(default: Any, raw: str) -> Any:
-    """Env strings coerced to the default's type (JSON first, then literal)."""
+def _coerce(key: str, default: Any, raw: str) -> Any:
+    """Env strings coerced to the default's type (JSON first, then literal),
+    then VALIDATED against the default's type when the default is non-None —
+    ``FRONTERA_SPARK_MAX_NEXT_REQUESTS=abc`` must fail here with the env-var
+    name, not much later as a bare int() error inside loop_from_settings."""
     try:
-        return json.loads(raw)
+        val = json.loads(raw)
     except (json.JSONDecodeError, ValueError):
-        return raw
+        val = raw
+    if default is None:
+        return val
+    # JSON has no tuple: sequence defaults accept a list and normalize
+    if isinstance(default, tuple) and isinstance(val, list):
+        return tuple(val)
+    # bool is an int subclass: an int/float default must NOT accept true/false,
+    # and a bool default must not accept 0/1
+    if isinstance(default, bool) != isinstance(val, bool) or not isinstance(
+        val, (type(default), int) if isinstance(default, float) else type(default)
+    ):
+        raise ValueError(
+            f"{_ENV_PREFIX}{key}={raw!r} parsed to {type(val).__name__} "
+            f"{val!r}; expected {type(default).__name__} "
+            f"(default {default!r})"
+        )
+    return float(val) if isinstance(default, float) else val
 
 
 class Settings:
@@ -90,7 +109,7 @@ class Settings:
         for key, default in DEFAULT_SETTINGS.items():
             raw = os.environ.get(_ENV_PREFIX + key)
             if raw is not None:
-                self._store[key] = _coerce(default, raw)
+                self._store[key] = _coerce(key, default, raw)
 
     @classmethod
     def from_params(cls, **kwargs: Any) -> "Settings":
