@@ -130,11 +130,58 @@ def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url")
     return fixed.unionByName(rest)
 
 
-def parse_domain_info(url: str) -> dict:
+# Embedded static subset of the Mozilla Public Suffix List (publicsuffix.org,
+# MPL-2.0 — rule DATA, not code): the multi-label suffixes a crawler's
+# per-domain budgets most commonly mis-split on. Deliberately small and
+# offline (no network fetch, no tldextract dependency); extend by adding
+# entries. Single-label TLDs need no entry — the positional fallback already
+# handles them.
+PUBLIC_SUFFIXES = frozenset(
+    {
+        # UK
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "nhs.uk",
+        "me.uk", "ltd.uk", "plc.uk",
+        # Australia / New Zealand
+        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+        "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+        # Japan / Korea / China / Taiwan / Hong Kong
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+        "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+        "com.tw", "org.tw", "gov.tw", "edu.tw", "com.hk", "org.hk", "edu.hk",
+        # India / South-East Asia
+        "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "gov.in",
+        "ac.in", "edu.in", "res.in",
+        "com.sg", "org.sg", "edu.sg", "gov.sg", "com.my", "org.my", "gov.my",
+        "co.th", "or.th", "ac.th", "go.th", "co.id", "or.id", "ac.id", "go.id",
+        # Americas
+        "com.br", "net.br", "org.br", "gov.br", "edu.br",
+        "com.mx", "org.mx", "gob.mx", "edu.mx",
+        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+        "com.co", "net.co", "org.co", "com.pe", "com.ve", "com.uy", "com.ec",
+        # Europe / Middle East / Africa
+        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+        "co.il", "org.il", "net.il", "ac.il", "gov.il",
+        "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+        "com.pl", "net.pl", "org.pl", "edu.pl", "com.ua", "net.ua", "org.ua",
+        "com.ru", "net.ru", "org.ru", "com.eg", "com.sa", "com.ng", "com.gh",
+        "co.ke", "or.ke", "ac.ke",
+    }
+)
+
+
+def parse_domain_info(url: str, public_suffix: bool = False) -> dict:
     """netloc / name / scheme / sld / tld / subdomain, frontera-shaped.
 
-    frontera/utils/url.py:~30-100 returns these six fields; without a
-    public-suffix list (tldextract mode off) sld/tld are label-positional.
+    frontera/utils/url.py:~30-100 returns these six fields in two modes:
+    label-positional (default — tld = last label, sld = last two) and
+    tldextract-backed. ``public_suffix=True`` reproduces the tldextract mode
+    against the embedded static ``PUBLIC_SUFFIXES`` subset: a host ending in
+    a known multi-label suffix splits as tld = that suffix, sld = registrable
+    domain (one label + suffix) — so ``shop.example.co.uk`` budgets under
+    ``example.co.uk``, not ``co.uk``. Hosts off the list fall back to the
+    positional heuristic (identical to the default mode), keeping the flag
+    safe to flip on mixed corpora.
     """
     try:
         parts = urlsplit(url)
@@ -143,9 +190,17 @@ def parse_domain_info(url: str) -> dict:
     netloc = parts.netloc
     host = netloc.partition(":")[0].lower()
     labels = [x for x in host.split(".") if x]
-    tld = labels[-1] if len(labels) >= 2 else ""
-    sld = ".".join(labels[-2:]) if len(labels) >= 2 else host
-    subdomain = ".".join(labels[:-2]) if len(labels) > 2 else ""
+    suffix_len = 1
+    if public_suffix and len(labels) >= 3 and ".".join(labels[-2:]) in PUBLIC_SUFFIXES:
+        suffix_len = 2
+    if len(labels) >= suffix_len + 1:
+        tld = ".".join(labels[-suffix_len:])
+        sld = ".".join(labels[-(suffix_len + 1):])
+        subdomain = ".".join(labels[: -(suffix_len + 1)])
+    else:
+        tld = ""
+        sld = host
+        subdomain = ""
     return {
         "netloc": netloc,
         "name": host,
@@ -163,8 +218,22 @@ _DOMAIN_STRUCT = StructType(
 
 @pandas_udf(_DOMAIN_STRUCT)
 def parse_domains_udf(urls: pd.Series) -> pd.DataFrame:
-    """Vectorized domain parser → struct column."""
+    """Vectorized domain parser → struct column (positional mode)."""
     return pd.DataFrame([parse_domain_info(u) for u in urls])
+
+
+def parse_domains_udf_for(public_suffix: bool = False):
+    """Vectorized domain parser with the suffix mode baked in — pass
+    ``public_suffix=True`` for registrable-domain sld/tld splitting against
+    the embedded ``PUBLIC_SUFFIXES`` subset."""
+    if not public_suffix:
+        return parse_domains_udf
+
+    @pandas_udf(_DOMAIN_STRUCT)
+    def _udf(urls: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([parse_domain_info(u, public_suffix=True) for u in urls])
+
+    return _udf
 
 
 def host_col(url: Column) -> Column:
