@@ -1071,25 +1071,32 @@ FROM comp GROUP BY node
 """
 
 
+_ND_BANDS = 16  # OR-construction width
+_ND_ROWS = 3  # AND-construction depth (bits per band)
+# (b=16, r=3) on the hyperplane s-curve: per-band collision (1-θ/π)^3, so a
+# cos=0.3 pair (θ≈1.27) collides in ≥1 of 16 bands w.p. ~0.98 and a cos=0.5
+# pair w.p. ~0.997 — measured ≥0.9 recall vs the brute-force set is pinned in
+# tests/test_round3_fixes.py. At this deliberately WEAK 0.3 threshold the
+# candidate volume is inherently large (the s-curve prunes little below ~0.6
+# similarity); the same construction at a realistic near-dup threshold (0.8+,
+# θ≤0.64 → per-plane 0.8) prunes to a tiny candidate fraction — banding
+# params are the knob, the plan shape (band equi-join, dedup, verify) is
+# threshold-independent.
+
+
 def q_lsh_neardup_pairs(spark, sf_dir):
-    """Embedding near-dup pairs, LSH-bucketed — the scale path replacing the
-    brute-force q_embed_neardup_pairs: hyperplane-sign signatures (planes =
-    the first 6 embeddings, deterministic) bucket the corpus; candidate
-    pairs come from a bucket EQUI-join (no cartesian), then exact cosine
-    verifies. One 6-bit band here; more bands / multi-probe raise recall at
-    the standard LSH cost curve."""
+    """Embedding near-dup pairs, multi-band LSH — the scale path replacing
+    the brute-force q_embed_neardup_pairs: 16 bands × 3 md5-derived ±1
+    hyperplanes (decorrelated from the corpus, unlike r2's single band of
+    data-derived planes), OR-construction across bands with candidate-pair
+    dedup BEFORE verification (the minhash_lsh_pairs_for shape), then exact
+    rounded cosine ≥ 0.3 verifies. Candidates come from a (band, sig)
+    EQUI-join — no cartesian anywhere; dedup runs on the narrow (a, b) pair
+    set; vectors re-attach by two corpus joins only for the deduped
+    candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id"), ve.alias("v"))
-    # plane vectors as LITERALS (a 6-row driver collect of data-derived
-    # hyperplanes): the signature becomes one narrow projection — no
-    # dim-table cross join (and no BroadcastNestedLoop) in the plan
-    plane_rows = (
-        emb.filter(F.col("vec_id") < 6)
-        .orderBy("vec_id")
-        .select(ve.alias("v"))
-        .collect()
-    )
 
     def dot_lit(plane):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -1099,15 +1106,29 @@ def q_lsh_neardup_pairs(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    bucket = None
-    for p, r in enumerate(plane_rows):
-        bit = F.when(dot_lit(r["v"]) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    band_structs = []
+    for band in range(_ND_BANDS):
+        sig = F.lit(0).cast("long")
+        for row in range(_ND_ROWS):
+            sig = sig + F.when(
+                dot_lit(_plane_signs(f"nd{band}.{row}")) > 0,
+                F.lit(1 << row).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        band_structs.append(
+            F.struct(F.lit(band).cast("long").alias("band"), sig.alias("sig"))
         )
-        bucket = bit if bucket is None else bucket + bit
-    sigs = vecs.select("vec_id", "v", bucket.alias("bucket"))
-    a = sigs.select(F.col("vec_id").alias("a"), F.col("bucket"), F.col("v").alias("va"))
-    b = sigs.select(F.col("vec_id").alias("b"), F.col("bucket"), F.col("v").alias("vb"))
+    sigs = vecs.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -1127,30 +1148,50 @@ def q_lsh_neardup_pairs(spark, sf_dir):
     )
     cos = F.floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.3)
         .select("a", "b", "cos_sim")
     )
 
 
-SQL_LSH_NEARDUP_PAIRS = """
+def _lsh_neardup_sql() -> str:
+    """Oracle for q_lsh_neardup_pairs: the same 16×3 md5-derived planes
+    rendered as list literals, so both engines compute identical band
+    signatures; candidate dedup and rounded-cosine verify mirror the Spark
+    plan exactly."""
+    sig_exprs = []
+    for band in range(_ND_BANDS):
+        terms = " + ".join(
+            "CAST(CASE WHEN list_dot_product(v, ["
+            + ",".join(str(x) for x in _plane_signs(f"nd{band}.{row}"))
+            + f"]) > 0 THEN {1 << row} ELSE 0 END AS BIGINT)"
+            for row in range(_ND_ROWS)
+        )
+        sig_exprs.append(f"({terms}) AS s{band}")
+    sig_list = ", ".join(f"s{band}" for band in range(_ND_BANDS))
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes AS (SELECT vec_id AS pid, v AS p FROM e WHERE vec_id < 6),
+wide AS (SELECT vec_id, {", ".join(sig_exprs)} FROM e),
 sigs AS (
-  SELECT e.vec_id, any_value(e.v) AS v,
-    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.p) > 0
-             THEN CAST(2 ** planes.pid AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM e CROSS JOIN planes GROUP BY e.vec_id)
+  SELECT vec_id, unnest(range({_ND_BANDS})) AS band, unnest([{sig_list}]) AS sig
+  FROM wide),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+                         AND x.vec_id < y.vec_id)
 SELECT a, b, cos_sim FROM (
-  SELECT x.vec_id AS a, y.vec_id AS b,
-    FLOOR(list_dot_product(x.v, y.v)
-          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+  SELECT c.a, c.b,
+    FLOOR(list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
           * 10000.0 + 0.5) / 10000.0 AS cos_sim
-  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
 WHERE cos_sim >= 0.3
 """
+
+
+SQL_LSH_NEARDUP_PAIRS = _lsh_neardup_sql()
 
 
 def q_phash_neardup_pairs(spark, sf_dir):
@@ -1173,34 +1214,12 @@ def q_phash_neardup_pairs(spark, sf_dir):
         F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
     )
     ph = base.unionByName(variants)
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("phash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-        )
-        for c in range(4)
-    ]
-    chunks = ph.select(
-        "doc_id", "phash", F.explode(F.array(*chunk_structs)).alias("cs")
-    ).select("doc_id", "phash", F.col("cs.chunk").alias("chunk"), F.col("cs.val").alias("val"))
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "val"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.col("x.phash").alias("pa"),
-            F.col("y.phash").alias("pb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select("a", "b", "hamming")
-    )
+    # parameterized banding lives in operators/pipeline.phash_neardup_pairs_for
+    # (n_chunks > hamming_max pigeonhole; 4×16-bit here — the 8×8-bit config
+    # verifies to the identical pair set, pinned in test_round3_fixes)
+    from frontera_spark.operators.pipeline import phash_neardup_pairs_for
+
+    return phash_neardup_pairs_for(ph, n_chunks=4, hamming_max=3)
 
 
 SQL_PHASH_NEARDUP_PAIRS = """
@@ -1499,21 +1518,68 @@ FROM toks
 # --------------------------------------------- IVF ANN top-k (cell-probe scale path)
 
 
+_IVF_K = 8  # cells
+_IVF_SAMPLE = 256  # training sample: vec_id < 256 (bounded driver collect)
+_IVF_ITERS = 3  # fixed Lloyd's iterations — deterministic, no convergence test
+
+
+def _ivf_round(x):
+    """HALF_UP to 4 decimals — the repo-wide Spark↔DuckDB parity barrier.
+    Every cross-engine float aggregation in the IVF training (dot products,
+    centroid means) passes through this, so the two engines' different
+    summation orders (≤1e-13 relative) can never flip an assignment."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _ivf_train(sample_vecs: list[list[float]]) -> list[list[float]]:
+    """Deterministic Lloyd's over the ordered sample: init = first k vectors,
+    assign by rounded dot product (ties → lowest cid — matching the oracle's
+    ORDER BY rdot DESC, cid ASC), update = per-dim mean rounded HALF_UP 1e-4,
+    empty cells keep their previous centroid. Pure-Python float64 — the
+    rounding barriers make it bit-equal to the oracle's unrolled SQL CTEs."""
+    k = _IVF_K
+    cents = [list(v) for v in sample_vecs[:k]]
+    for _ in range(_IVF_ITERS):
+        members: list[list[list[float]]] = [[] for _ in range(k)]
+        for v in sample_vecs:
+            rdots = [_ivf_round(sum(a * b for a, b in zip(v, c))) for c in cents]
+            cell = max(range(k), key=lambda i: (rdots[i], -i))
+            members[cell].append(v)
+        for cid in range(k):
+            if members[cid]:
+                n = len(members[cid])
+                cents[cid] = [
+                    _ivf_round(sum(m[d] for m in members[cid]) / n)
+                    for d in range(len(cents[cid]))
+                ]
+    return cents
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the cell-probe scale path beside the LSH
     one (q_lsh_bucket_topk) and the brute-force baseline (q_embed_topk):
-    8 deterministic centroids (the first 8 corpus vectors), every vector
-    assigned to its max-dot-product cell, the query probes its nprobe=2
-    nearest cells, exact cosine top-10 within the probed cells only. At
-    10^10 vectors the scan shrinks to nprobe/8 of the corpus per query;
-    centroids are literals (an 8-row driver collect), so assignment is one
-    narrow projection — no dim-table cross join in the plan."""
+    k=8 centroids TRAINED by deterministic Lloyd's (3 fixed iterations over
+    the first-256-vectors sample — balanced cells, unlike r2's untrained
+    first-8-vectors pick), every vector assigned to its max-rounded-dot
+    cell, the query probes its nprobe=2 nearest cells, exact cosine top-10
+    within the probed cells only. At 10^10 vectors the scan shrinks to
+    ~nprobe/k of the corpus per query; training touches only the bounded
+    sample, and centroids are literals, so assignment is one narrow
+    broadcast-free projection. The DuckDB oracle re-runs the identical
+    training as unrolled SQL CTEs — HALF_UP-1e-4 rounding at every
+    aggregation bridges the engines' float-sum orders."""
     emb = _t(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id"), ve.alias("v"))
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select(ve.alias("v")).collect()
+    sample = (
+        emb.filter(F.col("vec_id") < _IVF_SAMPLE)
+        .orderBy("vec_id")
+        .select(ve.alias("v"))
+        .collect()
     )
+    cent_rows = [{"v": c} for c in _ivf_train([list(r["v"]) for r in sample])]
 
     def dot_lit(vals):
         arr = F.array(*[F.lit(float(x)) for x in vals])
@@ -1523,14 +1589,20 @@ def q_ivf_topk(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    dots = F.array(*[dot_lit(r["v"]) for r in cent_rows])
+    # assignment uses the SAME rounded dot as training/oracle (parity barrier)
+    dots = F.array(
+        *[
+            F.floor(dot_lit(r["v"]) * 10000.0 + 0.5) / 10000.0
+            for r in cent_rows
+        ]
+    )
     # argmax cell; array_position takes the FIRST max → ties go to the lowest
-    # cid, matching the oracle's ORDER BY dot DESC, cid ASC
+    # cid, matching the oracle's ORDER BY rdot DESC, cid ASC
     cell = F.array_position(dots, F.array_max(dots)) - 1
     asgn = vecs.select("vec_id", "v", cell.alias("cell"))
 
     qv = vecs.filter(F.col("vec_id") == 0).select("v").collect()[0]["v"]
-    dots_q = [sum(a * b for a, b in zip(qv, r["v"])) for r in cent_rows]
+    dots_q = [_ivf_round(sum(a * b for a, b in zip(qv, r["v"]))) for r in cent_rows]
     probe = sorted(range(len(cent_rows)), key=lambda i: (-dots_q[i], i))[:2]
 
     nq = sum(x * x for x in qv) ** 0.5
@@ -1553,31 +1625,80 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
-SQL_IVF_TOPK = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-asgn AS (
+def _ivf_topk_sql() -> str:
+    """Oracle for q_ivf_topk: the SAME deterministic Lloyd's training,
+    unrolled as one SQL CTE chain per iteration (assign → per-dim mean →
+    empty-cell coalesce), with the HALF_UP-1e-4 rounding barrier on every
+    dot product and centroid mean — both engines round through identical
+    formulas, so their differing float-sum orders cannot diverge. Fully
+    data-independent (no literals): the oracle trains on the same view."""
+    rdot = "FLOOR(list_dot_product({v}, {c}) * 10000.0 + 0.5) / 10000.0"
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"s AS (SELECT vec_id, v FROM e WHERE vec_id < {_IVF_SAMPLE})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_IVF_K})",
+    ]
+    for t in range(1, _IVF_ITERS + 1):
+        prev = f"c{t - 1}"
+        d = rdot.format(v="s.v", c="c.c")
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cid AS cell,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d} DESC, c.cid ASC) AS r
+    FROM s CROSS JOIN {prev} c) WHERE r = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT cell, dim, FLOOR(AVG(val) * 10000.0 + 0.5) / 10000.0 AS cval
+  FROM (SELECT cell, unnest(v) AS val, unnest(range(len(v))) AS dim FROM a{t})
+  GROUP BY cell, dim)"""
+        )
+        parts.append(
+            f"n{t} AS (SELECT cell AS cid, list(cval ORDER BY dim) AS c "
+            f"FROM m{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.cid, COALESCE(n.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN n{t} n ON n.cid = p.cid)"
+        )
+    final = f"c{_IVF_ITERS}"
+    d_asgn = rdot.format(v="e.v", c="c.c")
+    d_probe = rdot.format(v="q.qv", c="c.c")
+    parts.append(
+        f"""asgn AS (
   SELECT vec_id, cell, v FROM (
-    SELECT e.vec_id, cents.cid AS cell, e.v,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid ASC) AS r
-    FROM e CROSS JOIN cents) WHERE r = 1),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-probe AS (
-  SELECT cid AS cell FROM cents, q
-  ORDER BY list_dot_product(q.qv, cents.c) DESC, cid ASC LIMIT 2),
-cand AS (
+    SELECT e.vec_id, c.cid AS cell, e.v,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d_asgn} DESC, c.cid ASC) AS r
+    FROM e CROSS JOIN {final} c) WHERE r = 1)"""
+    )
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"""probe AS (
+  SELECT cid AS cell FROM {final} c CROSS JOIN q
+  ORDER BY {d_probe} DESC, cid ASC LIMIT 2)"""
+    )
+    parts.append(
+        """cand AS (
   SELECT a.vec_id, a.cell,
     FLOOR(list_dot_product(a.v, q.qv)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))
           * 10000.0 + 0.5) / 10000.0 AS cos_sim
   FROM asgn a JOIN probe p ON a.cell = p.cell CROSS JOIN q
-  WHERE a.vec_id <> 0)
+  WHERE a.vec_id <> 0)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
 SELECT vec_id, cell, cos_sim, rk FROM (
   SELECT vec_id, cell, cos_sim,
          ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
 WHERE rk <= 10
 """
+    )
+
+
+SQL_IVF_TOPK = _ivf_topk_sql()
 
 
 # --------------------------------------- image near-dup clusters (phash CC)

