@@ -62,16 +62,11 @@ def stream_seeds(
     return writer.start()
 
 
-def stream_results(
-    engine: FrontierEngine,
-    source_dir: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
-):
-    """Stream spider-log JSON messages (external fleet → engine): mark pages
-    crawled and schedule their extracted links, one MERGE set per
-    micro-batch."""
-    raw = engine.spark.readStream.format("text").load(source_dir)
+def _results_ingest_fn(engine: FrontierEngine):
+    """The spider-log micro-batch body, shared by every inbound transport
+    (text files, Kafka-shaped bus frames, a real ``format("kafka")`` source):
+    decode → page_crawled / request_error → links_extracted. Source-agnostic
+    by construction — it only ever sees a ``value``-string batch frame."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         results = decode_results(batch_df.select(F.col("value"))).cache()
@@ -88,7 +83,65 @@ def stream_results(
         engine.links_extracted(links)
         results.unpersist()
 
-    writer = raw.writeStream.foreachBatch(ingest).option(
+    return ingest
+
+
+def stream_results(
+    engine: FrontierEngine,
+    source_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream spider-log JSON messages (external fleet → engine): mark pages
+    crawled and schedule their extracted links, one MERGE set per
+    micro-batch."""
+    raw = engine.spark.readStream.format("text").load(source_dir)
+    writer = raw.writeStream.foreachBatch(_results_ingest_fn(engine)).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+# Exactly the column set Spark's Kafka source produces (minus the
+# timestampType int, which no consumer here reads): the wire contract the
+# fake bus and a real ``format("kafka")`` stream share.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp"
+)
+
+
+def kafka_shaped_stream(spark, source_dir: str) -> DataFrame:
+    """An embedded FAKE Kafka source: a parquet file-stream whose rows carry
+    the exact Kafka wire schema (``KAFKA_WIRE_SCHEMA`` — binary key/value +
+    topic/partition/offset/timestamp). Tests write codec-framed messages
+    (codecs.encode_results → key/value cast to binary) into ``source_dir``
+    and the engine consumes them through the same column contract a real
+    broker would present — closing the S6 integration gap offline. In
+    production this one line becomes
+    ``spark.readStream.format("kafka").option("subscribe", topic).load()``;
+    nothing downstream changes."""
+    return spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(source_dir)
+
+
+def stream_results_from_bus(
+    engine: FrontierEngine,
+    bus: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Spider-log ingestion from a Kafka-SHAPED streaming frame (real broker
+    or ``kafka_shaped_stream`` fake): casts the binary ``value`` to string —
+    the one transport-specific step — then runs the identical micro-batch
+    body as ``stream_results``. The binary ``key`` is the codec's
+    fingerprint-partition id (X1 framing); it routed the message on the bus
+    and is not re-read here."""
+    raw = bus.select(F.col("value").cast("string").alias("value"))
+    writer = raw.writeStream.foreachBatch(_results_ingest_fn(engine)).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -195,3 +195,78 @@ def test_stream_polite_gate_stateful_budget(spark, tmp_path):
         ("a.test", 6): True,
         ("a.test", 7): False,
     }
+
+
+def test_stream_results_from_kafka_shaped_bus(spark, tmp_path):
+    """S6 integration closure (VERDICT r2 #9): spider-log messages framed by
+    the codec (key = fingerprint-partition id, value = JSON) travel through a
+    fake bus carrying the EXACT Kafka wire schema (binary key/value + topic/
+    partition/offset/timestamp) and drain into the engine with the same
+    effects as the direct path — swapping in a real broker changes only the
+    readStream line."""
+    from frontera_spark.streaming.codecs import encode_results
+    from frontera_spark.streaming.stream_ingest import (
+        KAFKA_WIRE_SCHEMA,
+        kafka_shaped_stream,
+        stream_results_from_bus,
+    )
+
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="bfs")
+    eng.add_seeds(
+        spark.createDataFrame(
+            [("https://a.example.test/p", 0), ("https://a.example.test/q", 1)],
+            "url string, seq int",
+        )
+    )
+    frontier = eng.table.read()
+    results = frontier.select(
+        "fingerprint",
+        "canonical_url",
+        "host",
+        "partition_id",
+        "seq",
+        "depth",
+        F.lit(0).alias("jid"),
+        F.when(
+            F.col("canonical_url").endswith("/q"), F.array()
+        ).otherwise(F.array(F.lit("https://b.example.test/new"))).alias("out_links"),
+    )
+    status = F.when(F.col("canonical_url").endswith("/q"), 404).otherwise(200)
+    framed = encode_results(results, partitions=2, status_code=status)
+    # wrap the codec frame in the Kafka wire columns a broker would add
+    wire = framed.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("spider-log").alias("topic"),
+        F.col("key").cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    bus_dir = tmp_path / "bus"
+    wire.write.parquet(str(bus_dir))
+    # sanity: the fake presents exactly the wire schema
+    got = spark.read.schema(KAFKA_WIRE_SCHEMA).parquet(str(bus_dir))
+    assert [f.simpleString() for f in got.schema.fields] == [
+        f.simpleString()
+        for f in spark.createDataFrame([], KAFKA_WIRE_SCHEMA).schema.fields
+    ]
+
+    q = stream_results_from_bus(
+        eng, kafka_shaped_stream(spark, str(bus_dir)), str(tmp_path / "ckpt_bus")
+    )
+    q.awaitTermination(120)
+
+    from frontera_spark import STATE_ERROR
+
+    states = {r.canonical_url: r.state for r in eng.table.read().collect()}
+    assert states["https://a.example.test/p"] == STATE_CRAWLED
+    assert states["https://a.example.test/q"] == STATE_ERROR
+    assert states["https://b.example.test/new"] == STATE_QUEUED
+
+    # replay the same bus files against a fresh checkpoint: seen-set dedup +
+    # MERGE idempotence → identical final state (exactly-once effects)
+    q2 = stream_results_from_bus(
+        eng, kafka_shaped_stream(spark, str(bus_dir)), str(tmp_path / "ckpt_bus2")
+    )
+    q2.awaitTermination(120)
+    assert eng.table.read().count() == 3
