@@ -344,6 +344,105 @@ def phash_bucket_stats(ph: DataFrame, n_chunks: int = 4) -> DataFrame:
     )
 
 
+def _round4(x: float) -> float:
+    """HALF_UP to 4 decimals — the repo-wide cross-engine float barrier."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _round4_col(c):
+    return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Distributed deterministic Lloyd's over a corpus-sized vector frame —
+    the 100 TB-scale complement of driver_queries._ivf_train (which trains
+    on a bounded driver-side sample so the DuckDB oracle can replay it).
+
+    Same contract as the driver-side trainer: init = first ``k`` vectors by
+    ``id_col`` order, assignment by HALF_UP-1e-4-rounded max dot product
+    (ties → lowest cid), update = per-dimension mean rounded the same way,
+    empty cells keep their previous centroid, ``iterations`` fixed rounds
+    (no convergence test — determinism over adaptivity).
+
+    Scale shape: the corpus NEVER reaches the driver. Per iteration:
+    centroids travel outward as k×dim literals (one narrow projection — no
+    dim-table crossJoin, no BroadcastNestedLoop); assignment is a JVM-side
+    rounded-dot argmax (array_position of array_max → first max → lowest
+    cid); the update is posexplode → groupBy(cell, dim) → avg — map-side
+    combinable, shuffle bounded by k×dim groups; only k×dim rounded means
+    (scalars) collect. At 10^10 vectors each iteration is one scan + one
+    k×dim-wide shuffle."""
+    if k < 1 or iterations < 0:
+        raise ValueError(f"need k >= 1, iterations >= 0 (got k={k}, it={iterations})")
+    base = vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init_rows = base.orderBy("_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} but only {len(init_rows)} vectors")
+    cents = [[float(x) for x in r["_v"]] for r in init_rows]
+    dim = len(cents[0])
+
+    def dot_lit(plane: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iterations):
+        dots = F.array(*[_round4_col(dot_lit(c)) for c in cents])
+        cell = (F.array_position(dots, F.array_max(dots)) - 1).alias("_cell")
+        means = (
+            base.select(cell, F.posexplode("_v").alias("_dim", "_val"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg("_val").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for row in means:
+            by_cell.setdefault(int(row["_cell"]), {})[int(row["_dim"])] = _round4(
+                row["_m"]
+            )
+        for cid in range(k):
+            got = by_cell.get(cid)
+            if got:  # empty cells keep their previous centroid
+                cents[cid] = [got[d] for d in range(dim)]
+    return cents
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, cell) assignment against trained centroids — the IVF index-build
+    projection: centroid literals, rounded-dot argmax, first-max → lowest
+    cid; one narrow JVM-side pass, no joins."""
+
+    def dot_lit(plane: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(*[_round4_col(dot_lit(c)) for c in centroids])
+    return vecs.select(
+        F.col(id_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+    )
+
+
 def neardup_dedup(
     docs: DataFrame,
     bands: int = _LSH_BANDS,

@@ -345,3 +345,46 @@ def test_ivf_centroids_trained_and_recall(spark):
     brute = {r.vec_id for r in q_embed_topk(spark, SF001).collect()}
     ivf = {r.vec_id for r in q_ivf_topk(spark, SF001).collect()}
     assert len(brute & ivf) / 10 >= 0.6  # measured 0.7 at sf0.01, 1.0 at sf0.1
+
+
+# ------------------------------------------------- distributed k-means (IVF)
+
+
+def test_kmeans_fit_matches_driver_side_trainer(spark):
+    """pipeline.kmeans_fit (distributed Lloyd's — corpus never collected) and
+    driver_queries._ivf_train (sample-bounded, oracle-replayable) implement
+    the SAME contract; on the same input they must produce the same
+    centroids. The HALF_UP-1e-4 barrier on every dot and mean absorbs the
+    engines' different float-summation orders."""
+    from frontera_spark.operators.driver_queries import _ivf_train, _IVF_K
+    from frontera_spark.operators.driver_queries import _t as _table
+    from frontera_spark.operators.pipeline import kmeans_assign, kmeans_fit
+
+    emb = _table(spark, SF001, "embeddings")
+    vecs = emb.filter(F.col("vec_id") < 256).selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    sample = [list(r.v) for r in vecs.orderBy("vec_id").collect()]
+    want = _ivf_train(sample)
+
+    got = kmeans_fit(vecs, k=_IVF_K, iterations=3)
+    assert len(got) == len(want)
+    for cid, (g, w) in enumerate(zip(got, want)):
+        assert g == pytest.approx(w, abs=1e-9), f"centroid {cid} diverged"
+
+    asgn = kmeans_assign(vecs, got)
+    cells = {r["cell"] for r in asgn.select("cell").distinct().collect()}
+    assert cells <= set(range(_IVF_K)) and len(cells) >= 2
+    assert asgn.count() == vecs.count()
+
+
+def test_kmeans_fit_validates_inputs(spark):
+    from frontera_spark.operators.pipeline import kmeans_fit
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_fit(vecs, k=5)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_fit(vecs, k=0)
