@@ -183,13 +183,28 @@ def minhash_lsh_pairs_for(
     )
 
 
-def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
     """Connected components of the near-dup pair graph: (doc_id, component)
     where component = min doc_id reachable through verified pairs — the
     canonical-representative assignment a full dedup pipeline uses instead
     of the greedy drop-higher-id rule.
 
-    Min-label propagation with a pointer-jump hop, pure DataFrame ops. Each
+    SIZE-ADAPTIVE, the AQE-broadcast-switch idea applied to graph shape: the
+    verified near-dup edge set is usually orders of magnitude smaller than
+    the corpus, and a distributed label-propagation round costs several
+    shuffles of fixed latency regardless of size — at a few hundred edges
+    that fixed cost dominates by 10×. So when the pair count is at most
+    ``driver_threshold`` (two narrow longs per row → ≤ ~16 MB collected),
+    the components come from a single driver-side union-find over one
+    collect: exact, one action, microseconds of CPU. Above the threshold —
+    the 10^10-doc regime, where the edge set itself is distributed-sized —
+    the pure-DataFrame loop below runs.
+
+    Distributed path: min-label propagation with a pointer-jump hop. Each
     round every node takes (1) the minimum label among itself and its
     neighbors, then (2) its new label's OWN label (path compression:
     lbl ← lbl[lbl], the Shiloach-Vishkin shortcut) — labels race down
@@ -197,14 +212,42 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     not O(diameter). A label value is always a node id reachable from its
     holder (initially itself; neighbor-min moves it across one real edge;
     the jump composes two reachability facts), so the fixpoint is exactly
-    min-reachable-id — the same result as the exact recursive-CTE oracle.
+    min-reachable-id — the same result as the exact recursive-CTE oracle
+    and as the driver-side union-find. The convergence check is FOLDED into
+    the round's cache-filling aggregate (one Spark action per round);
+    ``localCheckpoint`` every 8 rounds truncates lineage for deep graphs.
+    Either way every join/groupBy touches the EDGE set only, never the
+    corpus."""
+    spark = pairs.sparkSession
+    # one cheap action on the narrow pair frame decides the strategy; the
+    # +1 limit keeps the probe O(threshold) even on a huge pair set
+    probe = pairs.select("a", "b").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict = {}
 
-    Cost shape: every join/groupBy is on the EDGE set (the LSH-verified
-    pairs), never the corpus; the convergence check is FOLDED into the same
-    aggregate that materializes the round's cache, so each round is ONE
-    Spark action (r2 spent a second action on a join+limit+count change
-    probe — at sf0.1 that was the slowest driver query). ``localCheckpoint``
-    every 8 rounds truncates lineage for deep graphs."""
+        def find(u):
+            r = u
+            while parent[r] != r:
+                r = parent[r]
+            while parent[u] != r:  # path compression
+                parent[u], u = r, parent[u]
+            return r
+
+        for row in probe:
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is min-reachable-id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        schema = pairs.select(
+            F.col("a").alias("doc_id"), F.col("a").alias("component")
+        ).schema
+        return spark.createDataFrame(rows, schema)
+
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -232,12 +275,14 @@ def neardup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             "_old",
             F.least(F.col("_l1"), F.coalesce(F.col("_jl"), F.col("_l1"))).alias("lbl"),
         )
-        # localCheckpoint (eager) both materializes and truncates lineage;
-        # plain cache on the other rounds
-        new_full = (
-            new_full.localCheckpoint() if (it + 1) % 8 == 0 else new_full.cache()
-        )
-        # ONE action: fills the cache and returns the changed-row count
+        # localCheckpoint EVERY round: the round references the previous
+        # label map TWICE (neighbor-min and pointer-jump), so a cache-only
+        # chain doubles the LOGICAL plan each round — exponential analysis
+        # cost and driver OOM on deep graphs. Checkpointing truncates the
+        # plan to the materialized RDD; lazy so the agg below stays the
+        # round's single action.
+        new_full = new_full.localCheckpoint(eager=False)
+        # ONE action: materializes the checkpoint and returns the changed count
         changed = new_full.agg(
             F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias("c")
         ).first()["c"]

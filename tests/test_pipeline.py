@@ -98,3 +98,22 @@ def test_neardup_components_chain(spark):
     )
     out = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_neardup_components_paths_agree(spark):
+    """The size-adaptive switch must be invisible: the driver-side
+    union-find (small edge sets) and the distributed pointer-jump loop
+    (driver_threshold=0 forces it) return identical labelings — including
+    on a long chain, where the pointer jump needs multiple rounds."""
+    from frontera_spark.operators.pipeline import neardup_components
+
+    chain = [(i, i + 1, 0.9) for i in range(50)]  # one 51-node chain
+    extra = [(100, 200, 0.9), (200, 150, 0.9), (300, 301, 0.9)]
+    pairs = spark.createDataFrame(chain + extra, "a long, b long, jaccard double")
+    fast = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast[50] == 0 and fast[150] == 100 and fast[301] == 300
