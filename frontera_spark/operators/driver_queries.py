@@ -1093,31 +1093,61 @@ def q_lsh_neardup_pairs(spark, sf_dir):
     rounded cosine ≥ 0.3 verifies. Candidates come from a (band, sig)
     EQUI-join — no cartesian anywhere; dedup runs on the narrow (a, b) pair
     set; vectors re-attach by two corpus joins only for the deduped
-    candidates."""
+    candidates.
+
+    Two verification-cost moves (both arithmetic-identical, so the oracle
+    needs no change): the 48 plane dots compute through ONE nested-literal
+    transform() expression instead of 48 independent aggregate trees
+    (analysis/codegen of the signature projection shrinks ~10×), and each
+    vector's norm is computed ONCE in the vector frame instead of once per
+    candidate pair (the dominant cost at a weak threshold — the 0.3 cutoff
+    admits most pairs as candidates, so per-pair work is what matters).
+    Left-to-right accumulation everywhere, same formula dot/(na·nb): the
+    floats are bit-identical to the per-pair form."""
     emb = _t(spark, sf_dir, "embeddings")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vecs = emb.select(F.col("vec_id"), ve.alias("v"))
-
-    def dot_lit(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+    vecs = (
+        emb.select(F.col("vec_id"), ve.alias("v"))
+        .withColumn("n", norm)
+    )
 
-    band_structs = []
-    for band in range(_ND_BANDS):
-        sig = F.lit(0).cast("long")
-        for row in range(_ND_ROWS):
-            sig = sig + F.when(
-                dot_lit(_plane_signs(f"nd{band}.{row}")) > 0,
-                F.lit(1 << row).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        band_structs.append(
-            F.struct(F.lit(band).cast("long").alias("band"), sig.alias("sig"))
+    # the 48×64 plane matrix as ONE SQL-literal expression: a single py4j
+    # call; building it from 3,072 F.lit() Columns spends seconds of client
+    # round-trips before Spark ever sees the plan
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)}D" for x in _plane_signs(f"nd{band}.{row}")) + ")"
+        for band in range(_ND_BANDS)
+        for row in range(_ND_ROWS)
+    ) + ")"
+    dots = F.expr(
+        f"transform({planes_sql}, p -> "
+        "aggregate(zip_with(v, p, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"
+    )
+    with_dots = vecs.withColumn("_d", dots)
+    band_structs = [
+        F.struct(
+            F.lit(band).cast("long").alias("band"),
+            sum(
+                (
+                    F.when(
+                        F.col("_d")[band * _ND_ROWS + row] > 0,
+                        F.lit(1 << row).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for row in range(_ND_ROWS)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sig"),
         )
-    sigs = vecs.select(
+        for band in range(_ND_BANDS)
+    ]
+    sigs = with_dots.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     cand = (
@@ -1127,26 +1157,14 @@ def q_lsh_neardup_pairs(spark, sf_dir):
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
     )
-    va = vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    va = vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("va"), F.col("va"), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("vb"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
-    cos = F.floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0
+    cos = F.floor(dot / (F.col("na") * F.col("nb")) * 10000.0 + 0.5) / 10000.0
     return (
         cand.join(va, "a")
         .join(vb, "b")
