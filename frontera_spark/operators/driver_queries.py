@@ -1058,6 +1058,40 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Incremental near-dup lookup — the per-ingest dedup a crawler/training
+    pipeline runs on EVERY batch: corpus = the documents table (its LSH
+    band keys + shingle sets are the reusable index; production persists
+    them and appends accepted batches), new batch = the deterministic
+    variants (doc_id + 1,000,000, first token dropped). Candidates come
+    from a corpus ⋈ batch (band, sig) EQUI-join — never corpus×corpus or
+    batch×batch — and exact Jaccard verifies candidates only. Returns
+    (a = corpus doc_id, b = new doc_id, jaccard). Semantically identical to
+    filtering the full self-join pair set to cross pairs, which is exactly
+    what the oracle does. Implementation:
+    operators/pipeline.minhash_lsh_lookup."""
+    from frontera_spark.operators.pipeline import minhash_lsh_lookup
+
+    aug = _aug_docs(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1000000)
+    batch = aug.filter(F.col("doc_id") >= 1000000)
+    out = minhash_lsh_lookup(
+        corpus, batch, bands=_LSH_BANDS, r=_LSH_R, jaccard_min=_LSH_JACCARD_MIN
+    )
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("jaccard"),
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
+FROM ({SQL_MINHASH_LSH_PAIRS})
+WHERE a < 1000000 AND b >= 1000000
+"""
+
+
 SQL_NEARDUP_COMPONENTS = f"""
 WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
 edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
@@ -1643,14 +1677,18 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
-def _ivf_topk_sql() -> str:
-    """Oracle for q_ivf_topk: the SAME deterministic Lloyd's training,
-    unrolled as one SQL CTE chain per iteration (assign → per-dim mean →
-    empty-cell coalesce), with the HALF_UP-1e-4 rounding barrier on every
-    dot product and centroid mean — both engines round through identical
-    formulas, so their differing float-sum orders cannot diverge. Fully
-    data-independent (no literals): the oracle trains on the same view."""
-    rdot = "FLOOR(list_dot_product({v}, {c}) * 10000.0 + 0.5) / 10000.0"
+_IVF_RDOT = "FLOOR(list_dot_product({v}, {c}) * 10000.0 + 0.5) / 10000.0"
+
+
+def _ivf_asgn_sql_parts() -> list:
+    """Shared oracle CTE chain: deterministic Lloyd's training unrolled one
+    CTE group per iteration (assign → per-dim mean → empty-cell coalesce),
+    HALF_UP-1e-4 rounding barrier on every dot product and centroid mean,
+    ending at ``asgn`` = every vector's trained cell. Fully data-independent
+    (no literals): the oracle re-trains on the same view. Used by both
+    SQL_IVF_TOPK and SQL_IVF_CELLS, so `ivf_cells` correctness covers the
+    trainer itself, not just the probe path."""
+    rdot = _IVF_RDOT
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"s AS (SELECT vec_id, v FROM e WHERE vec_id < {_IVF_SAMPLE})",
@@ -1682,7 +1720,6 @@ def _ivf_topk_sql() -> str:
         )
     final = f"c{_IVF_ITERS}"
     d_asgn = rdot.format(v="e.v", c="c.c")
-    d_probe = rdot.format(v="q.qv", c="c.c")
     parts.append(
         f"""asgn AS (
   SELECT vec_id, cell, v FROM (
@@ -1690,6 +1727,16 @@ def _ivf_topk_sql() -> str:
       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d_asgn} DESC, c.cid ASC) AS r
     FROM e CROSS JOIN {final} c) WHERE r = 1)"""
     )
+    return parts
+
+
+def _ivf_topk_sql() -> str:
+    """Oracle for q_ivf_topk: shared training/assignment chain
+    (_ivf_asgn_sql_parts) + query-vector probe of the 2 nearest cells +
+    exact rounded-cosine top-10 within the probed cells."""
+    final = f"c{_IVF_ITERS}"
+    d_probe = _IVF_RDOT.format(v="q.qv", c="c.c")
+    parts = _ivf_asgn_sql_parts()
     parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     parts.append(
         f"""probe AS (
@@ -1717,6 +1764,61 @@ WHERE rk <= 10
 
 
 SQL_IVF_TOPK = _ivf_topk_sql()
+
+
+def q_ivf_cells(spark, sf_dir):
+    """IVF index audit: per-cell population after deterministic Lloyd's —
+    the balance observable that says whether the trained index spreads the
+    corpus (r2's untrained first-k-vectors centroids gave degenerate cells).
+    Output (cell, n_vecs); the oracle RE-TRAINS the identical centroids in
+    unrolled SQL, so this query correctness-gates the trainer end to end —
+    a single diverged assignment changes a count. Spark side: bounded-sample
+    driver training (same as q_ivf_topk), assignment as one narrow
+    rounded-dot argmax projection, one k-group aggregate; at 10^10 vectors
+    this is a scan + k-row shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id"), ve.alias("v"))
+    sample = (
+        emb.filter(F.col("vec_id") < _IVF_SAMPLE)
+        .orderBy("vec_id")
+        .select(ve.alias("v"))
+        .collect()
+    )
+    cents = _ivf_train([list(r["v"]) for r in sample])
+
+    def dot_lit(vals):
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(
+        *[F.floor(dot_lit(c) * 10000.0 + 0.5) / 10000.0 for c in cents]
+    )
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("long")
+    return (
+        vecs.select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .select("cell", F.col("n_vecs").cast("long").alias("n_vecs"))
+    )
+
+
+def _ivf_cells_sql() -> str:
+    parts = _ivf_asgn_sql_parts()
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM asgn GROUP BY cell
+"""
+    )
+
+
+SQL_IVF_CELLS = _ivf_cells_sql()
 
 
 # --------------------------------------- image near-dup clusters (phash CC)
@@ -1853,11 +1955,13 @@ QUERIES = {
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
+    "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),

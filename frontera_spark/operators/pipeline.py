@@ -86,31 +86,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def minhash_lsh_pairs_for(
-    docs: DataFrame,
-    bands: int = _LSH_BANDS,
-    r: int = _LSH_R,
-    jaccard_min: float = _LSH_JACCARD_MIN,
-) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs (a < b, jaccard ≥ threshold) over an
-    arbitrary (doc_id, text) DataFrame — the generalized form of the
-    oracle-paired q_minhash_lsh_pairs. Candidates come from a (band, band
-    signature) EQUI-join; exact Jaccard verifies candidates only. No
-    cartesian product at any size.
-
-    Note: the shingle and band-signature frames are cached and stay
-    registered for the session (they back the returned lazy result, so they
-    cannot be unpersisted here; Spark evicts LRU under pressure). A
-    production pipeline would write the signature table out instead —
-    at 10^10 docs you persist it anyway."""
-    k = bands * r
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """NARROW (doc_id, shingle) rows, hash-distinct — not a per-row
+    array_distinct (quadratic, interpreted). Docs under 3 tokens get no
+    shingles (the oracle's ``WHERE len(t) >= 3`` gate)."""
     toks = F.split(F.col("text"), r"\s+")
-    # shingles as NARROW (doc_id, shingle) rows, hash-distinct — not a
-    # per-row array_distinct (quadratic, interpreted); and the k permutation
-    # md5s as plain codegen expressions over the exploded rows with a min()
-    # aggregate — not nested higher-order transforms (interpreted per
-    # element). Same values, whole-stage-codegen plan.
-    shingle = (
+    return (
         docs.select(F.col("doc_id"), toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(
@@ -128,13 +109,16 @@ def minhash_lsh_pairs_for(
             ).alias("s"),
         )
         .distinct()
-        .cache()  # feeds the signature agg AND the verify-set agg
     )
-    # permutation p = lexicographic min of md5('p:' || shingle)
-    # every doc with >= 3 tokens is banded — exactly the oracle's
-    # ``WHERE len(t) >= 3`` gate; no additional distinct-shingle-count
-    # filter (a short doc with repeated shingles still gets a signature,
-    # matching SQL_MINHASH_LSH_PAIRS which bands it too)
+
+
+def _band_frame(shingle: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket keys: permutation p = lexicographic min
+    of md5('p:' || shingle) — plain codegen expressions over the exploded
+    rows with a min() aggregate, not nested higher-order transforms
+    (interpreted per element). Every doc with a shingle is banded — no
+    distinct-shingle-count filter (matches the SQL oracle)."""
+    k = bands * r
     sigs = shingle.groupBy("doc_id").agg(
         *[
             F.min(
@@ -155,22 +139,18 @@ def minhash_lsh_pairs_for(
         )
         for b in range(bands)
     ]
-    bands_df = (
+    return (
         sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        .cache()  # self-joined: both sides read the materialized signatures
     )
 
-    cand = (
-        bands_df.alias("x")
-        .join(bands_df.alias("y"), ["band", "sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
-    sets = shingle.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
-    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+
+def _jaccard_verify(
+    cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame, jaccard_min: float
+) -> DataFrame:
+    """Exact rounded Jaccard over candidate pairs only: (a, b, jaccard)."""
+    sa = sets_a.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    sb = sets_b.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = F.floor(inter.cast("double") / union * 10000.0 + 0.5) / 10000.0
@@ -181,6 +161,73 @@ def minhash_lsh_pairs_for(
         .filter(F.col("jaccard") >= jaccard_min)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_lsh_pairs_for(
+    docs: DataFrame,
+    bands: int = _LSH_BANDS,
+    r: int = _LSH_R,
+    jaccard_min: float = _LSH_JACCARD_MIN,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (a < b, jaccard ≥ threshold) over an
+    arbitrary (doc_id, text) DataFrame — the generalized form of the
+    oracle-paired q_minhash_lsh_pairs. Candidates come from a (band, band
+    signature) EQUI-join; exact Jaccard verifies candidates only. No
+    cartesian product at any size.
+
+    Note: the shingle and band-signature frames are cached and stay
+    registered for the session (they back the returned lazy result, so they
+    cannot be unpersisted here; Spark evicts LRU under pressure). A
+    production pipeline would write the signature table out instead —
+    at 10^10 docs you persist it anyway."""
+    shingle = _shingle_frame(docs).cache()  # feeds signature agg AND verify
+    bands_df = _band_frame(shingle, bands, r).cache()  # self-joined
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sets = shingle.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    return _jaccard_verify(cand, sets, sets, jaccard_min)
+
+
+def minhash_lsh_lookup(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    bands: int = _LSH_BANDS,
+    r: int = _LSH_R,
+    jaccard_min: float = _LSH_JACCARD_MIN,
+) -> DataFrame:
+    """INCREMENTAL near-dup lookup: which new docs near-duplicate the
+    accumulated corpus — the per-batch dedup a crawler/training pipeline
+    runs on every ingest, instead of re-pairing the whole corpus.
+    Returns (a = corpus doc_id, b = new doc_id, jaccard ≥ threshold).
+
+    Scale shape: the corpus side is the LSH INDEX — its (band, sig) bucket
+    keys and shingle sets are computed once per corpus version (production
+    persists both as tables and appends each accepted batch's rows, so a
+    batch probe never rescans raw corpus text). The batch side computes
+    signatures for the new docs only; candidates come from the same
+    (band, sig) EQUI-join as the self-join path, now corpus ⋈ batch — at a
+    realistic batch:corpus ratio the join broadcasts the batch's bucket
+    keys. Verification touches candidate pairs only. Identical semantics to
+    filtering minhash_lsh_pairs_for(corpus ∪ new) to cross pairs, without
+    ever generating corpus×corpus or batch×batch candidates."""
+    sh_c = _shingle_frame(corpus).cache()
+    sh_n = _shingle_frame(new_docs).cache()
+    cand = (
+        _band_frame(sh_c, bands, r)
+        .alias("x")
+        .join(_band_frame(sh_n, bands, r).alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sets_c = sh_c.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    sets_n = sh_n.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    return _jaccard_verify(cand, sets_c, sets_n, jaccard_min)
 
 
 def neardup_components(
