@@ -290,14 +290,12 @@ class FrontierEngine:
             F.when(F.col("url") == F.col("canonical_url"), F.lit(None).cast("string"))
             .otherwise(F.col("url")),
         )
-        # materialize the anti-join once; the all-duplicates case (steady-
-        # state re-offers) exits before paying the range-partitioner's
-        # sampling pass and the offsets machinery below
+        # materialize the anti-join once. No isEmpty() probe here: the
+        # qcounts collect below doubles as the emptiness check (n_queued==0
+        # exit), so the all-duplicates re-offer pays one action, and every
+        # non-empty call saves one — on the small-batch path `ranged` is a
+        # coalesce(1) of this cache, so qcounts is as cheap as the probe was
         fresh = fresh_cache = fresh.cache()
-        if fresh.isEmpty() and not self.robots_deny_hosts:
-            fresh.unpersist()
-            candidates.unpersist()
-            return 0
         # seq allocation = exact global discovery order (_o1,_o2) WITHOUT a
         # single-partition sort: range-repartition on the order key (range
         # partitions are assigned in sorted order → global order = (partition,
