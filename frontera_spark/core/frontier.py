@@ -616,6 +616,24 @@ class FrontierEngine:
         )
         self._mark(src)
 
+    def record_results(self, crawled: DataFrame, errored: DataFrame | None) -> None:
+        """page_crawled + request_error fused into ONE state-transition
+        MERGE: both outcomes land on the same batch's partitions, so two
+        separate upserts would commit (and rewrite) those partitions twice
+        per iteration. frontera's API keeps the calls separate
+        (States.set_states per message type); the micro-batch loop sees both
+        frames at once and uses this."""
+        src = self._fence(crawled).select("fingerprint", "partition_id").withColumn(
+            "state", F.lit(STATE_CRAWLED)
+        )
+        if errored is not None:
+            src = src.unionByName(
+                self._fence(errored)
+                .select("fingerprint", "partition_id")
+                .withColumn("state", F.lit(STATE_ERROR))
+            )
+        self._mark(src)
+
     def revisit(self, condition, after_iterations: int = 1) -> int:
         """Re-queue CRAWLED rows matching ``condition`` for recrawl at
         ``crawl_at = now + after_iterations`` ticks (X6, the revisiting

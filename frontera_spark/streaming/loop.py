@@ -268,11 +268,11 @@ class CrawlLoop:
         missing = feed.select(*FEED_COLS).join(
             F.broadcast(results.select("canonical_url")), "canonical_url", "left_anti"
         )
-        self.engine.page_crawled(results)
         err_rows = missing.groupBy("partition_id").count().collect()
         n_err = int(sum(r["count"] for r in err_rows))
-        if n_err:
-            self.engine.request_error(missing)
+        # fused CRAWLED/ERROR state merge: one commit per iteration instead
+        # of two rewrites of the same batch partitions
+        self.engine.record_results(results, missing if n_err else None)
 
         links = extract_links(results)
         n_scheduled = self.engine.links_extracted(links)

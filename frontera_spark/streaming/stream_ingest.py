@@ -72,9 +72,9 @@ def _results_ingest_fn(engine: FrontierEngine):
         results = decode_results(batch_df.select(F.col("value"))).cache()
         ok = results.filter(F.col("status_code") < 400)
         err = results.filter(F.col("status_code") >= 400)
-        engine.page_crawled(ok)
-        if not err.isEmpty():
-            engine.request_error(err)
+        # one fused CRAWLED/ERROR merge — no per-outcome partition rewrite,
+        # no isEmpty probe (an empty err side unions to nothing)
+        engine.record_results(ok, err)
         links = ok.select(
             F.col("seq").alias("parent_seq"),
             (F.col("depth") + 1).alias("depth"),
