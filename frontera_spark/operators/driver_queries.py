@@ -1923,6 +1923,163 @@ SELECT * FROM (VALUES
 """
 
 
+# ------------------------------------- event sessionization / rollups (new)
+
+
+def q_session_stats(spark, sf_dir):
+    """Gap sessionization (6 h inactivity) over the events log.
+
+    Spark side = native ``session_window`` (merge-on-overlap intervals);
+    oracle = the independent lag/cumsum ANSI formulation — agreement checks
+    the operator, not a mirrored expression. One user_id shuffle either way
+    (operators/events.py documents the 10^12-event shape).
+    """
+    from frontera_spark.operators.events import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"), gap_s=21600.0)
+
+
+SQL_SESSION_STATS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS ep,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                   - CAST(epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0 > 21600.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       CAST(FLOOR(MIN(ep)) AS BIGINT) AS start_s,
+       COUNT(*) AS n_events,
+       FLOOR((MAX(ep) - MIN(ep)) * 10000.0 + 0.5) / 10000.0 AS dur_s,
+       FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_event_rollup(spark, sf_dir):
+    """Tumbling 1-day rollup per event type (hypertable-rollup shape):
+    map-side partial agg makes the shuffle |buckets x types| rows."""
+    from frontera_spark.operators.events import day_rollup
+
+    return day_rollup(_t(spark, sf_dir, "events"), bucket_s=86400)
+
+
+SQL_EVENT_ROLLUP = """
+SELECT CAST(FLOOR((CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) / 86400.0) AS BIGINT) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------- deterministic stratified sample
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language downsampling with a DETERMINISTIC hash gate (md5 of the
+    key, first 24 bits, mod 100) — the training-data pipeline sampler:
+    reproducible across runs/engines, no RNG state, embarrassingly parallel
+    (pure per-row projection + filter; at 100 TB it pushes the lang filter
+    and reads two columns). en is downsampled to 25%, other langs to 60%."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 6), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 25).otherwise(60)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang,
+       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+"""
+
+
+# ------------------------------------------ link-graph scoring (PageRank)
+
+
+def q_pagerank_scores(spark, sf_dir):
+    """Frontier prioritization by link importance: 3 unrolled PageRank
+    iterations (d=0.85) over a deterministic link graph derived from
+    documents (node v has out-degree 1 + v%3, edges v -> (31*v + j) % N).
+
+    The iterative shape Spark runs at scale: per iteration one shuffle join
+    of ranks onto edges (src) + one hash aggregate (dst) — contributions are
+    edge-set-sized, never all-pairs; co-locating both on the same bucketing
+    removes the join exchange on a real cluster. HALF_UP-1e-8 rounding
+    barrier after every iteration keeps cross-engine float drift from
+    compounding (same protocol as the trained-IVF oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(1) + F.col("doc_id") % 3)
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % n).alias("dst"),
+            (F.lit(1) + F.col("src") % 3).alias("outdeg"),
+        )
+    )
+    ranks = docs.select(F.col("doc_id").alias("id"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        contrib = edges.join(ranks, edges.src == ranks.id).select(
+            "dst", (F.col("pr") / F.col("outdeg")).alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("raw"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.floor(F.col("raw") * 1e8 + F.lit(0.5)) / 1e8).alias("pr"),
+            )
+        )
+    return (
+        ranks.select(F.col("id").cast("bigint").alias("doc_id"), "pr")
+        .orderBy(F.desc("pr"), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_PAGERANK_SCORES = """
+WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 31 + j.j) % (SELECT n FROM nn) AS dst,
+         1 + d.doc_id % 3 AS outdeg
+  FROM documents d JOIN (VALUES (1), (2), (3)) j(j) ON j.j <= 1 + d.doc_id % 3
+),
+r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+r1 AS (SELECT e.dst AS id,
+              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
+       FROM edges e JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+r2 AS (SELECT e.dst AS id,
+              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
+       FROM edges e JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+r3 AS (SELECT e.dst AS id,
+              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
+       FROM edges e JOIN r2 r ON r.id = e.src GROUP BY e.dst)
+SELECT CAST(id AS BIGINT) AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 20
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1962,6 +2119,10 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
