@@ -2080,6 +2080,144 @@ SELECT CAST(id AS BIGINT) AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 2
 """
 
 
+# ------------------------------- corpus hygiene: segments / contamination / PII
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Segment-level duplication stats (CCNet line-dedup shape): 4-token
+    non-overlapping chunks appearing in ≥2 distinct docs. One explode + one
+    hash aggregate — the removal list a paragraph-dedup pass would semi-join."""
+    from frontera_spark.operators.pipeline import segment_dedup_stats
+
+    return segment_dedup_stats(_t(spark, sf_dir, "documents"), k=4, min_docs=2)
+
+
+SQL_SEGMENT_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(CAST(floor(len(toks) / 4) AS BIGINT))) AS i
+  FROM t WHERE len(toks) >= 4
+),
+segs AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ') AS seg
+  FROM idx
+)
+SELECT seg, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: training docs sharing any sliding
+    4-token n-gram with the deterministic eval split (doc_id % 97 == 0).
+    Eval n-gram set is broadcast; corpus exploded once, never self-joined."""
+    from frontera_spark.operators.pipeline import ngram_contamination
+
+    return ngram_contamination(_t(spark, sf_dir, "documents"), n=4, eval_mod=97)
+
+
+SQL_CONTAMINATION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 4 + 1)) AS i
+  FROM t WHERE len(toks) >= 4
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 4), ' ') AS ng
+  FROM idx
+),
+ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+tr AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id AS doc_id, COUNT(*) AS n_hits
+FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Pattern-redaction pass (the PII-scrub primitive): mask every digit in
+    the events payload, count masked chars per row. Pure per-row projection —
+    embarrassingly parallel, whole-stage codegen, zero shuffle; real
+    email/phone/ssn patterns are a regex swap (tests/test_pipeline_ops.py
+    exercises those on synthetic strings)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), r"[0-9]", "#").alias("props_redacted"),
+        (
+            F.length("props") - F.length(F.regexp_replace(F.col("props"), r"[0-9]", ""))
+        ).cast("bigint").alias("n_masked"),
+    )
+
+
+SQL_PII_REDACT = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]', '#', 'g') AS props_redacted,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_masked
+FROM events
+"""
+
+
+# ------------------------------------------------- as-of join (click ← view)
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join, the time-series primitive Spark lacks natively: for every
+    click event, the latest view by the same user at or before it (ties on
+    ts broken by event_id — a view wins only if strictly earlier in
+    (ts, event_id) order).
+
+    Implemented WITHOUT a join: one shuffle on user_id, then last(ignorenulls)
+    over the interleaved (view ∪ click) ordering — O(events) rows through one
+    sort, no range-join blowup, skew = one user's history in one partition.
+    The oracle is a genuinely different formulation (per-click LATERAL top-1
+    lookup), so agreement checks the semantics, not a mirrored expression."""
+    from pyspark.sql import Window
+
+    from frontera_spark.operators.events import _barrier, _epoch_s
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    ep = _epoch_s()
+    last_view_id = F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w)
+    last_view_ep = F.last(F.when(is_view, ep), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            last_view_id.alias("view_id"),
+            _barrier(ep - last_view_ep).alias("gap_s"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "view_id", "gap_s")
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id, c.user_id,
+       v.event_id AS view_id,
+       FLOOR((CAST(epoch_us(c.ts) AS DOUBLE) / 1000000.0
+              - CAST(epoch_us(v.ts) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS gap_s
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM views v
+  WHERE v.user_id = c.user_id
+    AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) v ON TRUE
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2123,6 +2261,10 @@ QUERIES = {
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),

@@ -75,14 +75,12 @@ def sessionize(events: DataFrame, gap_s: float = 21600.0) -> DataFrame:
     return events.withColumn("session_idx", (F.sum(is_new).over(run) - 1).cast("bigint"))
 
 
-def session_rollup(events: DataFrame, gap_s: float = 21600.0) -> DataFrame:
-    """Per-session aggregates via Spark-native ``session_window``.
-
-    Output: user_id, start_s (epoch s of first event, floored to bigint),
-    n_events, dur_s (span in s, 4-dp), value_sum (4-dp). Same single
-    user_id-keyed exchange as ``sessionize`` but with merge-on-overlap
-    interval state — the streaming-compatible formulation.
-    """
+def session_agg(events: DataFrame, gap_s: float = 21600.0) -> DataFrame:
+    """The aggregation batch and streaming sessionization share: group by
+    (user_id, session_window(ts, gap)), emit (user_id, start_s, n_events,
+    dur_s, value_sum). ``events`` may be a batch frame or a watermarked
+    streaming frame (streaming/sessions.py wraps it with a watermark +
+    append-mode sink)."""
     ep = _epoch_s()
     grouped = events.groupBy(
         "user_id", F.session_window("ts", f"{int(gap_s)} seconds")
@@ -93,6 +91,17 @@ def session_rollup(events: DataFrame, gap_s: float = 21600.0) -> DataFrame:
         _barrier(F.sum("value")).alias("value_sum"),
     )
     return grouped.select("user_id", "start_s", "n_events", "dur_s", "value_sum")
+
+
+def session_rollup(events: DataFrame, gap_s: float = 21600.0) -> DataFrame:
+    """Per-session aggregates via Spark-native ``session_window``.
+
+    Output: user_id, start_s (epoch s of first event, floored to bigint),
+    n_events, dur_s (span in s, 4-dp), value_sum (4-dp). Same single
+    user_id-keyed exchange as ``sessionize`` but with merge-on-overlap
+    interval state — the streaming-compatible formulation.
+    """
+    return session_agg(events, gap_s=gap_s)
 
 
 def day_rollup(events: DataFrame, bucket_s: int = 86400) -> DataFrame:

@@ -579,3 +579,97 @@ def clean_corpus(
     )
     counts["after_lang_filter"] = d4.count()
     return d4, counts
+
+
+def segment_dedup_stats(docs: DataFrame, k: int = 4, min_docs: int = 2) -> DataFrame:
+    """Within-corpus SEGMENT-level duplication (the line/paragraph-dedup
+    primitive of CCNet-style cleaning, adapted to the corpus's single-line
+    documents): chunk each document into consecutive non-overlapping
+    ``k``-token segments and report every segment that appears in at least
+    ``min_docs`` distinct documents.
+
+    Output: (seg, n_docs, n_occ). At 100 TB this is explode → one hash
+    aggregation with map-side partial agg — the shuffle carries one row per
+    DISTINCT segment (vocabulary-sized, not corpus-sized); no window, no
+    join. Removal is then a broadcast/semi join of the hot-segment list
+    against the exploded corpus (the stats frame IS the removal list).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.floor(F.size(toks) / k).cast("int")
+    segs = (
+        docs.select("doc_id", toks.alias("_toks"), n_seg.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") * k + 1, k)).alias("seg"),
+        )
+    )
+    return (
+        segs.groupBy("seg")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def ngram_contamination(docs: DataFrame, n: int = 4, eval_mod: int = 97) -> DataFrame:
+    """Benchmark-contamination check: which training documents share any
+    sliding ``n``-token n-gram with the held-out eval split (deterministic
+    split: ``doc_id % eval_mod == 0`` is eval, the rest train — a stand-in
+    for a real benchmark suite; production uses 13-grams, the synthetic
+    corpus's short docs use a smaller window).
+
+    Output: (doc_id, n_hits) per CONTAMINATED training doc, where n_hits
+    counts its distinct matched n-grams. Scale shape: the eval n-gram set is
+    benchmark-sized (tiny vs the corpus) → broadcast inner join against the
+    train side's distinct (doc_id, ngram) rows, then one hash aggregation;
+    the corpus is exploded exactly once and never self-joined.
+    """
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("_toks") - n)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, n)).alias("ng"),
+        )
+    )
+    ev = grams.filter(F.col("doc_id") % eval_mod == 0).select("ng").distinct()
+    tr = grams.filter(F.col("doc_id") % eval_mod != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# Redaction patterns a production PII scrub swaps in for the digit mask of
+# q_pii_redact — Java regex (JVM-side regexp_replace, zero Python in the path).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\- ()]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_col(col, patterns=None, token: str = "[REDACTED]"):
+    """Compose regexp_replace passes over ``col`` — one whole-stage-codegen
+    projection regardless of pattern count. Order matters: longer/more
+    specific patterns (email, ipv4) run before the greedy digit-run phone
+    pattern so a phone inside an email isn't double-bitten."""
+    out = col
+    for pat in (patterns or PII_PATTERNS).values():
+        out = F.regexp_replace(out, pat, token)
+    return out
