@@ -206,8 +206,37 @@ class FrontierEngine:
         # ordering makes the wide-row shuffle run on ~zero rows.
         return df
 
-    def _finalize(self, candidates: DataFrame) -> int:
-        """Anti-join seen set, assign seq by discovery order, MERGE QUEUED."""
+    def _finalize(
+        self,
+        candidates: DataFrame,
+        extra_updates: DataFrame | None = None,
+        update_pids: list[int] | None = None,
+    ) -> int:
+        """Anti-join seen set, assign seq by discovery order, MERGE QUEUED.
+
+        ``extra_updates`` (narrow (fingerprint, partition_id, state) rows for
+        keys ALREADY in the table) ride along in the same MERGE commit: the
+        merge sets ``state`` on matched rows and inserts the unmatched fresh
+        rows — fresh rows are anti-joined against the table so they never
+        match, updates are existing keys so they never insert. One commit
+        (one target-partition rewrite) where the unfused
+        record_results + links_extracted sequence paid two rewrites of
+        largely the same partitions every iteration. ``update_pids`` skips
+        the probe job when the caller already knows the updates' partitions.
+        """
+        upd_cached = False
+        if extra_updates is not None and update_pids is None:
+            extra_updates = extra_updates.cache()
+            upd_cached = True
+            update_pids = [
+                r["partition_id"]
+                for r in extra_updates.select("partition_id").distinct().collect()
+            ]
+        upd_pids = list(update_pids or [])
+
+        def _upd_done():
+            if upd_cached:
+                extra_updates.unpersist()
         if self.seen is not None:
             # inline bloom probe (scalar pandas UDF): flags ride along in the
             # cache fill below, computed once, under the batch's existing
@@ -231,6 +260,9 @@ class FrontierEngine:
         n_candidates = int(sum(r["count"] for r in pid_rows))
         if not pids:
             candidates.unpersist()
+            if extra_updates is not None and upd_pids:
+                self._mark(extra_updates, pids=upd_pids)
+            _upd_done()
             return 0
         # membership scan: marks never change the key set, so skip the
         # overlay join entirely — base scan, partition-pruned, key column only
@@ -353,18 +385,31 @@ class FrontierEngine:
         # n_queued falls out of the offsets collect — no extra count job
         n_queued = acc - next_seq
         if n_queued == 0 and not self.robots_deny_hosts:
-            # everything deduped out: nothing to merge, no new snapshot
+            # everything deduped out: nothing to insert — but ride-along
+            # state updates still need their (mark-shaped) commit
             ranged.unpersist()
             fresh_cache.unpersist()
             candidates.unpersist()
+            if extra_updates is not None and upd_pids:
+                self._mark(extra_updates, pids=upd_pids)
+            _upd_done()
             return 0
         # ``pids`` (all candidate partitions) over-approximates the touched
         # set — safe: upsert rewrites-and-relinks those partitions either way
         gen = self.seen_gen + 1
+        if extra_updates is not None:
+            # narrow update rows padded with nulls: the merge's matched
+            # branch reads only key + set_cols from the source, and only
+            # update rows can match (fresh rows are post-anti-join)
+            rows = rows.unionByName(
+                extra_updates.select("fingerprint", "partition_id", "state"),
+                allowMissingColumns=True,
+            )
         self.table.upsert(
             rows,
+            set_cols=["state"] if extra_updates is not None else None,
             meta={"next_seq": next_seq + n_queued, "seen_gen": gen},
-            affected_pids=pids,
+            affected_pids=sorted({*pids, *upd_pids}),
         )
         if self.seen is not None:
             # shard update AFTER the merge, manifest sync last: a crash in
@@ -375,6 +420,7 @@ class FrontierEngine:
         ranged.unpersist()
         fresh_cache.unpersist()
         candidates.unpersist()
+        _upd_done()
         return n_queued
 
     def add_seeds(self, seeds: DataFrame) -> int:
@@ -634,6 +680,44 @@ class FrontierEngine:
             )
         self._mark(src)
 
+    def ingest_results(
+        self,
+        crawled: DataFrame,
+        errored: DataFrame | None,
+        links: DataFrame,
+        update_pids: list[int] | None = None,
+    ) -> int:
+        """The whole spider-log ingestion — CRAWLED/ERROR state transitions
+        AND the extracted links' QUEUED inserts — in ONE MERGE commit.
+
+        record_results + links_extracted each rewrite the (largely
+        overlapping) touched partitions; at one call each per iteration that
+        is two COW rewrites of the same files. Fusing them halves the
+        per-iteration commit cost and shrinks the crash window to a single
+        atomic snapshot: either the iteration's results AND links are all
+        in, or the pop marks are still live and ``_recover`` replays the
+        batch (fetching is deterministic, so replay is idempotent).
+
+        Returns the number of newly queued links (links_extracted's value).
+        """
+        upd = self._fence(crawled).select("fingerprint", "partition_id").withColumn(
+            "state", F.lit(STATE_CRAWLED)
+        )
+        if errored is not None:
+            upd = upd.unionByName(
+                self._fence(errored)
+                .select("fingerprint", "partition_id")
+                .withColumn("state", F.lit(STATE_ERROR))
+            )
+        df = links.withColumn("_o1", F.col("parent_seq")).withColumn(
+            "_o2", F.col("link_pos")
+        )
+        return self._finalize(
+            self._prepare(df.select("url", "depth", "_o1", "_o2")),
+            extra_updates=upd,
+            update_pids=update_pids,
+        )
+
     def revisit(self, condition, after_iterations: int = 1) -> int:
         """Re-queue CRAWLED rows matching ``condition`` for recrawl at
         ``crawl_at = now + after_iterations`` ticks (X6, the revisiting
@@ -663,7 +747,7 @@ class FrontierEngine:
         src.unpersist()
         return n
 
-    def _mark(self, src: DataFrame) -> None:
+    def _mark(self, src: DataFrame, pids: list[int] | None = None) -> None:
         """Narrow state-transition MERGE: (fingerprint, partition_id, state)
         is all the merge needs — SnapshotTable accepts update-only sources,
         so there is no reconstruction join against the full frontier, and
@@ -674,4 +758,5 @@ class FrontierEngine:
             src.select("fingerprint", "partition_id", "state"),
             set_cols=["state"],
             insert=False,
+            affected_pids=pids,
         )

@@ -270,15 +270,11 @@ class CrawlLoop:
         )
         err_rows = missing.groupBy("partition_id").count().collect()
         n_err = int(sum(r["count"] for r in err_rows))
-        # fused CRAWLED/ERROR state merge: one commit per iteration instead
-        # of two rewrites of the same batch partitions
-        self.engine.record_results(results, missing if n_err else None)
-
-        links = extract_links(results)
-        n_scheduled = self.engine.links_extracted(links)
 
         # per-partition lineage counters (BASELINE north_rule: checkpointed
-        # resume **with per-partition lineage and counters**)
+        # resume **with per-partition lineage and counters**) — collected
+        # BEFORE ingestion so the fused merge gets the update partitions for
+        # free (no probe job inside the engine)
         mrows = (
             results.groupBy("partition_id")
             .agg(
@@ -291,6 +287,16 @@ class CrawlLoop:
                 ),
             )
             .collect()
+        )
+        upd_pids = sorted(
+            {r["partition_id"] for r in mrows} | {r["partition_id"] for r in err_rows}
+        )
+
+        # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
+        # new links' QUEUED inserts land in ONE MERGE commit per iteration
+        links = extract_links(results)
+        n_scheduled = self.engine.ingest_results(
+            results, missing if n_err else None, links, update_pids=upd_pids
         )
         t_sec = time.perf_counter() - t0
         err_by_pid = {r["partition_id"]: int(r["count"]) for r in err_rows}

@@ -72,15 +72,15 @@ def _results_ingest_fn(engine: FrontierEngine):
         results = decode_results(batch_df.select(F.col("value"))).cache()
         ok = results.filter(F.col("status_code") < 400)
         err = results.filter(F.col("status_code") >= 400)
-        # one fused CRAWLED/ERROR merge — no per-outcome partition rewrite,
-        # no isEmpty probe (an empty err side unions to nothing)
-        engine.record_results(ok, err)
         links = ok.select(
             F.col("seq").alias("parent_seq"),
             (F.col("depth") + 1).alias("depth"),
             F.posexplode("out_links").alias("link_pos", "url"),
         ).select("url", "parent_seq", "link_pos", "depth")
-        engine.links_extracted(links)
+        # fully fused ingestion: CRAWLED/ERROR transitions and the QUEUED
+        # link inserts in one MERGE commit per micro-batch (an empty err
+        # side unions to nothing)
+        engine.ingest_results(ok, err, links)
         results.unpersist()
 
     return ingest
