@@ -95,6 +95,11 @@ class FrontierEngine:
         # pipeline) — the built-in fingerprint/domain projections stay
         # engine-side, exactly like frontera's default middleware stack
         self.middlewares = list(middlewares or [])
+        # per-partition row counts of the most recent pop — populated by
+        # get_next_requests (and PoliteScheduler.pop) from the grouped
+        # collect it already runs, so callers (the crawl loop) never pay a
+        # second count/isEmpty job on the feed batch
+        self.last_pop_pid_counts: dict[int, int] = {}
         path = os.path.join(workdir, "frontier")
         if os.path.exists(os.path.join(path, "CURRENT")):
             self.table = SnapshotTable.load(spark, path)
@@ -607,6 +612,9 @@ class FrontierEngine:
         # one grouped collect yields emptiness check + touched partitions
         marked = marked.cache()
         pid_counts = marked.groupBy("partition_id").count().collect()
+        self.last_pop_pid_counts = {
+            r["partition_id"]: int(r["count"]) for r in pid_counts
+        }
         if not pid_counts:
             # empty pop still advances the crawl clock: revisit timers
             # (crawl_at ticks) must keep counting toward their due time

@@ -355,6 +355,11 @@ class PoliteScheduler:
             .count()
             .collect()
         )
+        # the feed is exactly the served mark rows — expose its per-partition
+        # counts so the loop never re-counts the batch (frontier contract)
+        engine.last_pop_pid_counts = {
+            r["partition_id"]: int(r["count"]) for r in touched if r["_served"]
+        }
         if not touched:
             # nothing servable this tick — still advance the crawl clock so
             # token buckets refill on the next pop (else throttled hosts

@@ -9,8 +9,8 @@ iteration:
     results_i = fetch(feed_i ⋈ corpus)                 # downloader simulator
                 + decode PNG, PSNR/caption invariant   #   (mapInPandas)
     links_i   = explode(results_i.out_links)           # link extraction
-    engine.page_crawled(ok) / request_error(missing)   # spider log
-    engine.links_extracted(links_i)                    # scoring log → queue
+    engine.ingest_results(ok, missing, links_i)        # spider log + scoring
+                                                       #   log fused: ONE MERGE
     metrics_i → workdir/metrics/iter=<i>/              # per-partition lineage
 
 Every stage is a DataFrame op; the only Python-side loop is over iterations
@@ -255,7 +255,10 @@ class CrawlLoop:
                 max_pending=self.max_pending,
             )
         iteration = self.engine.iteration
-        if feed.isEmpty():
+        # the pop already counted its batch per partition (its grouped
+        # collect) — no isEmpty/count job on the feed here
+        popped_by_pid = dict(self.engine.last_pop_pid_counts)
+        if not popped_by_pid:
             feed.unpersist()
             return {"iteration": iteration, "n_fetched": 0}
 
@@ -263,18 +266,10 @@ class CrawlLoop:
             feed, self.corpus, self.corpus_seed, self.check_invariant
         ).cache()
 
-        # 404 path: feed rows with no corpus entry. The anti-join probes the
-        # CACHED results (≤ batch-size rows) — no second corpus scan.
-        missing = feed.select(*FEED_COLS).join(
-            F.broadcast(results.select("canonical_url")), "canonical_url", "left_anti"
-        )
-        err_rows = missing.groupBy("partition_id").count().collect()
-        n_err = int(sum(r["count"] for r in err_rows))
-
         # per-partition lineage counters (BASELINE north_rule: checkpointed
-        # resume **with per-partition lineage and counters**) — collected
-        # BEFORE ingestion so the fused merge gets the update partitions for
-        # free (no probe job inside the engine)
+        # resume **with per-partition lineage and counters**) — this collect
+        # also fills the results cache; the fused merge gets the update
+        # partitions for free (no probe job inside the engine)
         mrows = (
             results.groupBy("partition_id")
             .agg(
@@ -288,18 +283,37 @@ class CrawlLoop:
             )
             .collect()
         )
-        upd_pids = sorted(
-            {r["partition_id"] for r in mrows} | {r["partition_id"] for r in err_rows}
+        # 404s arithmetically: every popped row either fetched or had no
+        # corpus entry, so errors per partition = popped − fetched (no
+        # anti-join count job). The errored ROWS themselves are only built
+        # (lazily, against the cached ≤batch-size results) when any exist.
+        fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
+        err_by_pid = {
+            pid: n - fetched_by_pid.get(pid, 0)
+            for pid, n in popped_by_pid.items()
+            if n - fetched_by_pid.get(pid, 0) > 0
+        }
+        n_err = sum(err_by_pid.values())
+        missing = (
+            feed.select(*FEED_COLS).join(
+                F.broadcast(results.select("canonical_url")),
+                "canonical_url",
+                "left_anti",
+            )
+            if n_err
+            else None
         )
+        # every popped row transitions (CRAWLED or ERROR) — the update
+        # partitions are exactly the popped ones
+        upd_pids = sorted(popped_by_pid)
 
         # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
         # new links' QUEUED inserts land in ONE MERGE commit per iteration
         links = extract_links(results)
         n_scheduled = self.engine.ingest_results(
-            results, missing if n_err else None, links, update_pids=upd_pids
+            results, missing, links, update_pids=upd_pids
         )
         t_sec = time.perf_counter() - t0
-        err_by_pid = {r["partition_id"]: int(r["count"]) for r in err_rows}
         base = [r.asDict() for r in mrows]
         seen_pids = {r["partition_id"] for r in base}
         for pid, n in err_by_pid.items():  # partitions whose rows ALL 404'd
@@ -317,9 +331,7 @@ class CrawlLoop:
         mpdf["n_scheduled"] = n_scheduled  # batch-level (seq is global)
         mpdf["t_sec"] = t_sec
         mpdf = mpdf[[c.split()[0] for c in METRICS_SCHEMA.split(", ")]]
-        mdf = self.spark.createDataFrame(mpdf, METRICS_SCHEMA)
-        out = os.path.join(self.metrics_dir, f"iter={iteration}")
-        mdf.coalesce(1).write.mode("overwrite").parquet(out)
+        self._write_metrics(iteration, mpdf)
 
         agg = {
             "iteration": iteration,
@@ -334,6 +346,41 @@ class CrawlLoop:
         results.unpersist()
         feed.unpersist()
         return agg
+
+    _METRICS_ARROW = None  # lazily-built pyarrow schema mirroring METRICS_SCHEMA
+
+    def _write_metrics(self, iteration: int, mpdf: pd.DataFrame) -> None:
+        """Driver-side parquet write of the iteration's lineage counters.
+
+        The metrics frame is O(partitions) rows — launching a Spark write
+        job for it costs more than the write itself (one full job + commit
+        protocol per iteration). A pyarrow file in the same
+        ``iter=<i>/part-0.parquet`` layout is byte-compatible with the
+        ``spark.read.parquet`` consumer in ``metrics()``; replayed
+        iterations overwrite (remove + rewrite) exactly like the old
+        ``mode("overwrite")``, keeping resume single-copy semantics."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if CrawlLoop._METRICS_ARROW is None:
+            _PA_TYPES = {"int": pa.int32(), "long": pa.int64(), "double": pa.float64()}
+            CrawlLoop._METRICS_ARROW = pa.schema(
+                [
+                    (c.split()[0], _PA_TYPES[c.split()[1]])
+                    for c in METRICS_SCHEMA.split(", ")
+                ]
+            )
+        table = pa.Table.from_pandas(
+            mpdf, schema=CrawlLoop._METRICS_ARROW, preserve_index=False
+        )
+        out = os.path.join(self.metrics_dir, f"iter={iteration}")
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        tmp = os.path.join(out, "_tmp.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(out, "part-0.parquet"))
 
     def run(
         self,
