@@ -637,6 +637,10 @@ class FrontierEngine:
                 marked.select("fingerprint", "partition_id", "batch_id"),
                 mark_cols=["batch_id"],
                 meta={"iteration": iteration},
+                # the grouped collect above already counted the batch — small
+                # pops take add_marks' driver-side pyarrow write (no shuffle,
+                # no distributed-write commit protocol)
+                n_rows=sum(self.last_pop_pid_counts.values()),
             )
         else:
             m = self.table.manifest()

@@ -396,6 +396,9 @@ class PoliteScheduler:
             ),
             mark_cols=["batch_id"],
             meta={"iteration": iteration},
+            # served counts fall out of the touched collect — small feeds
+            # take the driver-side overlay write
+            n_rows=sum(engine.last_pop_pid_counts.values()),
         )
 
         # domain write-back MERGE (the DomainCache batched flush)

@@ -264,7 +264,19 @@ class SnapshotTable:
 
     # ------------------------------------------------- merge-on-read marks
 
-    def add_marks(self, src: DataFrame, mark_cols: list[str], meta: dict | None = None) -> int:
+    # below this row count, add_marks collects the (narrow) mark rows and
+    # writes the overlay leafs driver-side with pyarrow — a steady-state pop
+    # marks a few thousand rows, and the Spark shuffle + partitioned-write
+    # commit protocol costs more than moving ~3 long columns to the driver
+    SMALL_MARK_ROWS = 1 << 16
+
+    def add_marks(
+        self,
+        src: DataFrame,
+        mark_cols: list[str],
+        meta: dict | None = None,
+        n_rows: int | None = None,
+    ) -> int:
         """Merge-on-read UPDATE: record a (key → mark_cols) overlay for
         EXISTING rows without rewriting any data partition. ``read()``
         applies latest-mark-wins; any COW commit absorbs and drops its
@@ -274,7 +286,13 @@ class SnapshotTable:
         merge-on-read delete/update files have the same shape).
 
         An empty ``src`` still commits a snapshot (meta-only — the crawl
-        clock advances even when nothing was servable)."""
+        clock advances even when nothing was servable).
+
+        ``n_rows`` (when the caller already counted the batch) routes small
+        batches through a driver-side pyarrow write: same
+        ``marks-<sid>/partition_id=<p>/`` leaf layout, same schema, but one
+        narrow collect instead of a shuffle + partitioned-write commit
+        protocol. Large/unknown batches keep the distributed write."""
         m = self.manifest()
         prev_cols = m.get("mark_cols")
         if prev_cols and set(prev_cols) != set(mark_cols):
@@ -283,19 +301,38 @@ class SnapshotTable:
         rel = f"marks-{sid}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self._data_root, rel)
         cols = m["key"] + [PARTITION_COL] + list(mark_cols)
-        (
-            src.select(*cols)
-            .withColumn("_mseq", F.lit(sid).cast("long"))
-            .repartition(PARTITION_COL)
-            .write.mode("overwrite")
-            .partitionBy(PARTITION_COL)
-            .parquet(out)
-        )
         marks = {p: list(ds) for p, ds in m.get("marks", {}).items()}
-        for entry in os.listdir(out):
-            if entry.startswith(f"{PARTITION_COL}="):
-                pid = entry.split("=", 1)[1]
-                marks.setdefault(pid, []).append(f"{rel}/{entry}")
+        if n_rows is not None and n_rows <= self.SMALL_MARK_ROWS:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            tbl = src.select(*cols).withColumn("_mseq", F.lit(sid).cast("long")).toArrow()
+            for pid in pc.unique(tbl[PARTITION_COL]).to_pylist():
+                # Spark's partitioned layout: the partition column lives in
+                # the dir name only, not in the file
+                sub = tbl.filter(pc.equal(tbl[PARTITION_COL], pid)).drop_columns(
+                    [PARTITION_COL]
+                )
+                leaf_rel = f"{rel}/{PARTITION_COL}={pid}"
+                leaf = os.path.join(self._data_root, leaf_rel)
+                os.makedirs(leaf, exist_ok=True)
+                tmp = os.path.join(leaf, "_tmp.parquet")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(leaf, "part-0.parquet"))
+                marks.setdefault(str(pid), []).append(leaf_rel)
+        else:
+            (
+                src.select(*cols)
+                .withColumn("_mseq", F.lit(sid).cast("long"))
+                .repartition(PARTITION_COL)
+                .write.mode("overwrite")
+                .partitionBy(PARTITION_COL)
+                .parquet(out)
+            )
+            for entry in os.listdir(out):
+                if entry.startswith(f"{PARTITION_COL}="):
+                    pid = entry.split("=", 1)[1]
+                    marks.setdefault(pid, []).append(f"{rel}/{entry}")
         manifest = {
             **m,
             "snapshot_id": sid,
@@ -494,8 +531,15 @@ class SnapshotTable:
             kept_ids.append(s)
             for ds in m["dirs"].values():
                 live.update(d.split("/")[0] for d in ds)
+            # overlay mark dirs are live while any kept manifest references
+            # them; absorbed marks age out of manifests but their files don't
+            # delete themselves — reclaim them here like snap dirs
+            for ds in m.get("marks", {}).values():
+                live.update(d.split("/")[0] for d in ds)
         for entry in os.listdir(self._data_root):
-            if entry.startswith("snap-") and entry not in live:
+            if (
+                entry.startswith("snap-") or entry.startswith("marks-")
+            ) and entry not in live:
                 import shutil
 
                 shutil.rmtree(os.path.join(self._data_root, entry), ignore_errors=True)

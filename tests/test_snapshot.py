@@ -181,6 +181,51 @@ def test_add_marks_overlay_no_rewrite(spark, table):
     assert raw[1].state == 0
 
 
+def test_add_marks_driver_write_parity(spark, table):
+    """n_rows ≤ SMALL_MARK_ROWS routes through the driver-side pyarrow
+    write; the overlay must be indistinguishable from the Spark-written
+    one — same leaf layout, same read()/read_mark_keys view, absorbed by
+    COW the same way."""
+    table.upsert(
+        _df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 1), (3, "c", 0, 0.5, 1)])
+    )
+    marks = spark.createDataFrame(
+        [(1, 0, 7), (3, 1, 8)], "fingerprint long, partition_id int, state int"
+    )
+    table.add_marks(marks, mark_cols=["state"], n_rows=2)
+    m = table.manifest()
+    assert set(m["marks"]) == {"0", "1"}
+    # leaf layout matches the Spark writer: marks-<sid>-*/partition_id=<p>
+    for pid, leafs in m["marks"].items():
+        for leaf in leafs:
+            assert leaf.split("/")[1] == f"partition_id={pid}"
+    got = {r.fingerprint: r.state for r in table.read().collect()}
+    assert got == {1: 7, 2: 0, 3: 8}
+    mk = {tuple(r) for r in table.read_mark_keys().collect()}
+    assert mk == {(1, 0), (3, 1)}
+    # a COW merge absorbs driver-written marks exactly like Spark-written
+    table.upsert(_df(spark, [(2, "b", 4, 0.5, 0)]), set_cols=["state"])
+    assert "0" not in table.manifest()["marks"]
+    raw = {r.fingerprint: r.state for r in table.read(with_marks=False).collect()}
+    assert raw[1] == 7 and raw[2] == 4
+
+
+def test_vacuum_reclaims_absorbed_mark_dirs(spark, table):
+    import os
+
+    table.upsert(_df(spark, [(1, "a", 0, 0.5, 0)]))
+    marks = spark.createDataFrame([(1, 0, 9)], "fingerprint long, partition_id int, state int")
+    table.add_marks(marks, mark_cols=["state"], n_rows=1)
+    # absorb the mark, then age the referencing manifests out of the window
+    table.upsert(_df(spark, [(1, "a", 5, 0.5, 0)]), set_cols=["state"])
+    for _ in range(4):
+        table.upsert(_df(spark, [(1, "a", 5, 0.5, 0)]), set_cols=["state"])
+    table.vacuum(keep_last=2)
+    roots = os.listdir(table._data_root)
+    assert not [d for d in roots if d.startswith("marks-")], roots
+    assert table.read().collect()[0].state == 5
+
+
 def test_cow_absorbs_marks(spark, table):
     table.upsert(_df(spark, [(1, "a", 0, 0.5, 0), (2, "b", 0, 0.5, 0)]))
     marks = spark.createDataFrame([(1, 0, 7)], "fingerprint long, partition_id int, state int")
