@@ -61,6 +61,11 @@ FRONTIER_COLS = [c.split()[0] for c in FRONTIER_SCHEMA.split(", ")]
 
 
 class FrontierEngine:
+    # batches at or below this row count take the one-task sort for seq
+    # assignment; above it, range-repartitioned rank + driver offsets
+    # (see _finalize). Tests shrink this to drive the bulk path.
+    BULK_SORT_ROWS = 1 << 18
+
     def __init__(
         self,
         spark: SparkSession,
@@ -345,7 +350,27 @@ class FrontierEngine:
         # a whole extra job, and a one-task sort of <=256k rows is cheaper
         # than 32 tiny range partitions. Large batches (bulk seed loads) keep
         # the range path: global order without a single-partition sort.
-        if n_candidates <= (1 << 18):
+        small = n_candidates <= self.BULK_SORT_ROWS
+        if not small:
+            # bulk batches: materialize the anti-join once and branch on the
+            # FRESH count, not the candidate count — a duplicate-heavy bulk
+            # re-offer (steady-state recrawl offers, the dedup bench stage)
+            # exits right here without paying repartitionByRange's sampling
+            # pass over the join, and a bulk load whose survivors fit the
+            # one-task sort skips the range machinery too. Small batches
+            # keep their single-action path (qcounts doubles as the probe).
+            n_fresh = fresh_cache.count()
+            if n_fresh == 0:
+                # nothing survived the seen filter (robots rows would be in
+                # fresh, so there are none either): nothing to insert
+                fresh_cache.unpersist()
+                candidates.unpersist()
+                if extra_updates is not None and upd_pids:
+                    self._mark(extra_updates, pids=upd_pids)
+                _upd_done()
+                return 0
+            small = n_fresh <= self.BULK_SORT_ROWS
+        if small:
             ranged = fresh.coalesce(1).withColumn("_spid", F.spark_partition_id()).cache()
         else:
             ranged = (

@@ -140,6 +140,43 @@ def test_seed_file_order_parity(spark, tmp_path):
     assert eng.add_seeds_file(str(path)) == 0
 
 
+def test_bulk_range_path_order_and_dedup(spark, tmp_path, monkeypatch):
+    """Above BULK_SORT_ROWS, _finalize range-partitions for seq assignment
+    and gates on the FRESH count: a fresh bulk load keeps exact discovery
+    order, a 100%-duplicate bulk re-offer exits before the range machinery,
+    and a mixed re-offer numbers only the survivors — all identical to the
+    small-batch path's semantics."""
+    monkeypatch.setattr(FrontierEngine, "BULK_SORT_ROWS", 8)
+    eng = _engine(spark, tmp_path, "fifo")
+    urls = [f"https://h{i % 3}.example.test/bulk/{i:04d}" for i in range(40)]
+    seeds = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, seq int"
+    )
+    assert eng.add_seeds(seeds) == 40
+    got = [
+        r.canonical_url
+        for r in eng.table.read().orderBy("seq").select("canonical_url").collect()
+    ]
+    assert got == urls  # file order == seq order through the range path
+    # all-duplicate bulk re-offer: fresh-count gate exits with zero inserts
+    sid0 = eng.table.snapshot_id
+    assert eng.add_seeds(seeds) == 0
+    assert eng.table.snapshot_id == sid0, "no commit on an all-dup re-offer"
+    # mixed bulk: only survivors numbered, densely, after the existing max
+    urls2 = urls[:20] + [f"https://h9.example.test/new/{i}" for i in range(20)]
+    seeds2 = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls2)], "url string, seq int"
+    )
+    assert eng.add_seeds(seeds2) == 20
+    rows = eng.table.read().select("canonical_url", "seq").collect()
+    seqs = sorted(int(r.seq) for r in rows)
+    assert seqs == list(range(60))
+    new_order = [
+        r.canonical_url for r in sorted(rows, key=lambda r: r.seq) if r.seq >= 40
+    ]
+    assert new_order == urls2[20:]
+
+
 def test_min_hosts_min_requests_floors(spark, tmp_path):
     """A2 floors parity (frontera BC_MIN_REQUESTS/BC_MIN_HOSTS): a hot host
     floods the queue; the floors force host diversity and stop the batch at
