@@ -87,6 +87,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--urls", type=int, default=2_000_000)
     ap.add_argument("--images", type=int, default=2000)
+    ap.add_argument("--out", default="AB_BENCH.json", help="report file name")
     args = ap.parse_args()
 
     head_dir = os.path.dirname(os.path.abspath(__file__))
@@ -117,7 +118,7 @@ def main() -> None:
             for k, _, _ in STAGES
         }
         report = {"legs": legs, "summary": summary}
-        with open(os.path.join(head_dir, "AB_BENCH.json"), "w") as f:
+        with open(os.path.join(head_dir, args.out), "w") as f:
             json.dump(report, f, indent=2)
         print(json.dumps(summary, indent=2))
     finally:
