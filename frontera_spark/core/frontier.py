@@ -430,9 +430,14 @@ class FrontierEngine:
         if extra_updates is not None:
             # narrow update rows padded with nulls: the merge's matched
             # branch reads only key + set_cols from the source, and only
-            # update rows can match (fresh rows are post-anti-join)
-            rows = rows.unionByName(
-                extra_updates.select("fingerprint", "partition_id", "state"),
+            # update rows can match (fresh rows are post-anti-join). The
+            # _upd_only flag fences the insert branch: an update whose key is
+            # NOT in the table (foreign/malformed bus message, replay across
+            # a table reset) drops instead of inserting a null-padded row —
+            # same no-op semantics as record_results/_mark (insert=False).
+            rows = rows.withColumn("_upd_only", F.lit(False)).unionByName(
+                extra_updates.select("fingerprint", "partition_id", "state")
+                .withColumn("_upd_only", F.lit(True)),
                 allowMissingColumns=True,
             )
         self.table.upsert(
@@ -440,6 +445,7 @@ class FrontierEngine:
             set_cols=["state"] if extra_updates is not None else None,
             meta={"next_seq": next_seq + n_queued, "seen_gen": gen},
             affected_pids=sorted({*pids, *upd_pids}),
+            no_insert_col="_upd_only" if extra_updates is not None else None,
         )
         if self.seen is not None:
             # shard update AFTER the merge, manifest sync last: a crash in

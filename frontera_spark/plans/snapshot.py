@@ -379,17 +379,25 @@ class SnapshotTable:
         insert: bool,
         affected: set[str],
         m: dict,
+        no_insert_col: str | None = None,
     ) -> DataFrame:
         """Build the MERGE result frame (exposed so tests can audit the
         executed plan — the broadcastability of the merge is a load-bearing
-        scale property, asserted in test_snapshot)."""
+        scale property, asserted in test_snapshot).
+
+        ``no_insert_col``: name of a boolean source column; rows flagged true
+        are update-only — they can match (and set ``set_cols``) but are
+        EXCLUDED from the insert branch, so an unknown-key update row drops
+        instead of landing as a null-padded insert. The column itself never
+        reaches the table."""
         key = m["key"]
         target = self.read()
         cols = target.columns
         if set_cols is None:
             set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
+        extra = [no_insert_col] if no_insert_col else []
         if insert or set(cols) <= set(source.columns):
-            src = source.select(*cols)
+            src = source.select(*cols, *extra)
         else:
             # narrow UPDATE-only source: the merge projection below reads
             # nothing from the source beyond key + set_cols, so an update
@@ -411,7 +419,12 @@ class SnapshotTable:
         if tgt_rows == 0:
             # update against empty partitions matches nothing — full-schema
             # empty frame (a narrow src would miss partition_id downstream)
-            return src if insert else target.limit(0)
+            if not insert:
+                return target.limit(0)
+            if no_insert_col:
+                # flagged update rows match nothing here and must NOT insert
+                return src.filter(~F.col(no_insert_col)).select(*cols)
+            return src
 
         tgt = target.filter(F.col(PARTITION_COL).isin([int(p) for p in affected]))
         t, s = tgt.alias("t"), src.alias("s")
@@ -438,7 +451,8 @@ class SnapshotTable:
         kept = t.join(s, cond, "left").select(*proj)
         merged = kept
         if insert:
-            inserts = s.join(t, cond, "left_anti").select(
+            ins_src = s.filter(~F.col(f"s.{no_insert_col}")) if no_insert_col else s
+            inserts = ins_src.join(t, cond, "left_anti").select(
                 *[F.col(f"s.{c}").alias(c) for c in cols]
             )
             merged = kept.unionByName(inserts)
@@ -451,11 +465,14 @@ class SnapshotTable:
         insert: bool = True,
         meta: dict | None = None,
         affected_pids: list[int] | None = None,
+        no_insert_col: str | None = None,
     ) -> int:
         """MERGE INTO this USING source ON key.
 
         WHEN MATCHED: update ``set_cols`` (default: all non-key columns) from
-        source. WHEN NOT MATCHED: insert source row (if ``insert``).
+        source. WHEN NOT MATCHED: insert source row (if ``insert``); rows
+        whose boolean ``no_insert_col`` is true are update-only and never
+        insert (see _merged_frame).
 
         Only partitions present in ``source`` are rewritten; the rest of the
         table is re-linked. Source MUST carry partition_id consistent with the
@@ -494,7 +511,9 @@ class SnapshotTable:
         if takes_join_path and not cached:
             source = source.cache()
             cached = True
-        merged = self._merged_frame(source, set_cols, insert, affected, m)
+        merged = self._merged_frame(
+            source, set_cols, insert, affected, m, no_insert_col=no_insert_col
+        )
         new_dirs, new_counts = self._write_partitions(merged, sid)
         if cached:
             source.unpersist()

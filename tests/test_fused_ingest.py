@@ -83,6 +83,49 @@ def test_fused_with_no_new_links_still_marks(spark, tmp_path):
     assert eng.count(STATE_QUEUED) == 0
 
 
+def test_fused_unknown_key_update_drops(spark, tmp_path):
+    """A CRAWLED/ERROR row whose fingerprint is NOT in the frontier
+    (foreign/malformed bus message, replay across a table reset) must no-op
+    — same semantics as record_results/_mark (insert=False) — instead of
+    falling into the fused merge's insert branch as a null-padded row."""
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+    eng.add_seeds(_urls(spark, 0, 4))
+    feed = eng.get_next_requests(4, mode="global")
+    feed.cache().count()
+    # forge a result for a fingerprint the table has never seen
+    foreign = spark.createDataFrame(
+        [(123456789, 0, eng.jid)], "fingerprint long, partition_id int, jid int"
+    )
+    crawled = feed.select("fingerprint", "partition_id").withColumn(
+        "jid", F.lit(eng.jid)
+    ).unionByName(foreign)
+    n = eng.ingest_results(
+        crawled, None, _links(spark, [("https://h000.example.test/new", 0, 0, 1)])
+    )
+    feed.unpersist()
+    assert n == 1
+    snap = eng.table.read()
+    # the foreign update dropped: no null-padded row, no extra key
+    assert snap.filter(F.col("fingerprint") == 123456789).count() == 0
+    assert snap.filter(F.col("canonical_url").isNull()).count() == 0
+    assert snap.count() == 5  # 4 seeds + 1 new link
+    assert eng.count(STATE_CRAWLED) == 4
+    # parity check vs the unfused path on the same forged input
+    eng2 = FrontierEngine(spark, str(tmp_path / "b"), n_partitions=2, strategy="fifo")
+    eng2.add_seeds(_urls(spark, 0, 4))
+    feed2 = eng2.get_next_requests(4, mode="global")
+    feed2.cache().count()
+    crawled2 = feed2.select("fingerprint", "partition_id").withColumn(
+        "jid", F.lit(eng2.jid)
+    ).unionByName(foreign)
+    eng2.record_results(crawled2, None)
+    eng2.links_extracted(_links(spark, [("https://h000.example.test/new", 0, 0, 1)]))
+    feed2.unpersist()
+    a = sorted(tuple(r) for r in eng.table.read().select("fingerprint", "state").collect())
+    b = sorted(tuple(r) for r in eng2.table.read().select("fingerprint", "state").collect())
+    assert a == b
+
+
 def test_fused_respects_fencing(spark, tmp_path):
     wd = str(tmp_path / "eng")
     eng0 = FrontierEngine(spark, wd, n_partitions=2, jid=0)
