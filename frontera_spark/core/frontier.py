@@ -103,8 +103,12 @@ class FrontierEngine:
         # per-partition row counts of the most recent pop — populated by
         # get_next_requests (and PoliteScheduler.pop) from the grouped
         # collect it already runs, so callers (the crawl loop) never pay a
-        # second count/isEmpty job on the feed batch
-        self.last_pop_pid_counts: dict[int, int] = {}
+        # second count/isEmpty job on the feed batch. None = no pop counts
+        # pending; pops invalidate at entry and set on every return path, and
+        # consumers read through take_pop_counts() which fails loudly on a
+        # feed-producing path that forgot to record its counts (the loop's
+        # popped−fetched 404 arithmetic depends on THIS pop's counts).
+        self.last_pop_pid_counts: dict[int, int] | None = None
         path = os.path.join(workdir, "frontier")
         if os.path.exists(os.path.join(path, "CURRENT")):
             self.table = SnapshotTable.load(spark, path)
@@ -561,6 +565,7 @@ class FrontierEngine:
         partitions whose consumers caught up.
         """
         iteration = self.iteration + 1
+        self.last_pop_pid_counts = None  # invalidate until this pop counts
         # revisiting (frontera/contrib/backends/sqlalchemy/revisiting.py):
         # re-queued rows carry crawl_at; they re-enter the feed only once the
         # deterministic crawl clock (1 iteration = 1 tick) reaches it.
@@ -680,6 +685,20 @@ class FrontierEngine:
             m["parent_id"] = m["snapshot_id"] - 1
             self.table._write_manifest(m)
         return marked
+
+    def take_pop_counts(self) -> dict[int, int]:
+        """Consume the per-partition row counts of the pop that just ran
+        (one-shot). Raises if no pop recorded counts since the last take —
+        a feed-producing path that skipped the bookkeeping would otherwise
+        silently corrupt the crawl loop's popped−fetched error arithmetic."""
+        counts = self.last_pop_pid_counts
+        if counts is None:
+            raise RuntimeError(
+                "no pop counts pending: the feed-producing path did not "
+                "record last_pop_pid_counts for this batch"
+            )
+        self.last_pop_pid_counts = None
+        return counts
 
     # ------------------------------------------------------------- results in
 

@@ -320,6 +320,7 @@ class PoliteScheduler:
         """
         engine, domains = self.engine, self.domains
         iteration = engine.iteration + 1
+        engine.last_pop_pid_counts = None  # invalidate until this pop counts
         walk, denied = self.decide(iteration, max_n, max_per_host, mode)
         decisions = walk.cache()
 

@@ -249,7 +249,10 @@ def neardup_components(
     the components come from a single driver-side union-find over one
     collect: exact, one action, microseconds of CPU. Above the threshold —
     the 10^10-doc regime, where the edge set itself is distributed-sized —
-    the pure-DataFrame loop below runs.
+    the pure-DataFrame loop below runs. The probe collects via Arrow
+    (``toPandas`` → two int64 numpy columns, ~16 MB at the default
+    threshold) — a ``collect()`` of pyspark Row objects would cost hundreds
+    of MB of driver heap for the same rows.
 
     Distributed path: min-label propagation with a pointer-jump hop. Each
     round every node takes (1) the minimum label among itself and its
@@ -267,8 +270,9 @@ def neardup_components(
     corpus."""
     spark = pairs.sparkSession
     # one cheap action on the narrow pair frame decides the strategy; the
-    # +1 limit keeps the probe O(threshold) even on a huge pair set
-    probe = pairs.select("a", "b").limit(driver_threshold + 1).collect()
+    # +1 limit keeps the probe O(threshold) even on a huge pair set. Arrow
+    # transfer: two flat int64 columns, not driver-heap Row objects.
+    probe = pairs.select("a", "b").limit(driver_threshold + 1).toPandas()
     if len(probe) <= driver_threshold:
         parent: dict = {}
 
@@ -280,8 +284,7 @@ def neardup_components(
                 parent[u], u = r, parent[u]
             return r
 
-        for row in probe:
-            a, b = row["a"], row["b"]
+        for a, b in zip(probe["a"].tolist(), probe["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -658,9 +661,11 @@ def ngram_contamination(docs: DataFrame, n: int = 4, eval_mod: int = 97) -> Data
 # Redaction patterns a production PII scrub swaps in for the digit mask of
 # q_pii_redact — Java regex (JVM-side regexp_replace, zero Python in the path).
 PII_PATTERNS = {
+    # insertion order IS the replacement order in redact_col: the specific
+    # patterns (email, ipv4) must precede the greedy digit-run phone pattern
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d\- ()]{7,}\d",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ()]{7,}\d",
 }
 
 

@@ -256,8 +256,10 @@ class CrawlLoop:
             )
         iteration = self.engine.iteration
         # the pop already counted its batch per partition (its grouped
-        # collect) — no isEmpty/count job on the feed here
-        popped_by_pid = dict(self.engine.last_pop_pid_counts)
+        # collect) — no isEmpty/count job on the feed here. One-shot read:
+        # take_pop_counts raises if the pop path forgot its bookkeeping
+        # (the 404 arithmetic below must use THIS pop's counts, never stale)
+        popped_by_pid = self.engine.take_pop_counts()
         if not popped_by_pid:
             feed.unpersist()
             return {"iteration": iteration, "n_fetched": 0}
