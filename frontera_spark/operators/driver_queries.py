@@ -2013,16 +2013,22 @@ WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 10
 
 
 def q_pagerank_scores(spark, sf_dir):
-    """Frontier prioritization by link importance: 3 unrolled PageRank
-    iterations (d=0.85) over a deterministic link graph derived from
-    documents (node v has out-degree 1 + v%3, edges v -> (31*v + j) % N).
+    """Frontier prioritization by link importance: 3 unrolled MASS-CONSERVING
+    PageRank iterations (d=0.85) over a deterministic link graph derived
+    from documents (node v has out-degree 1 + v%3, edges v -> (31*v + j) % N).
 
-    The iterative shape Spark runs at scale: per iteration one shuffle join
-    of ranks onto edges (src) + one hash aggregate (dst) — contributions are
-    edge-set-sized, never all-pairs; co-locating both on the same bucketing
-    removes the join exchange on a real cluster. HALF_UP-1e-8 rounding
-    barrier after every iteration keeps cross-engine float drift from
-    compounding (same protocol as the trained-IVF oracle)."""
+    Implementation: operators/pipeline.pagerank — contributions LEFT-join
+    onto the FULL node set each iteration (in-degree-0 nodes keep the
+    0.15/n teleport floor and keep contributing outward in later rounds —
+    the r3 formulation dropped them after iteration 1) plus a dangling-mass
+    term (zero on this graph, every node has out-degree ≥ 1; the oracle
+    computes the identical scalar so the semantics stay gated). sum(pr) ≈ 1
+    per iteration is pinned in tests/test_round4_fixes.py. Per iteration:
+    one shuffle join of ranks onto edges (src) + one hash aggregate (dst) —
+    contributions are edge-set-sized, never all-pairs; HALF_UP-1e-8
+    rounding barrier per iteration bridges cross-engine float-sum orders."""
+    from frontera_spark.operators.pipeline import pagerank
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     edges = (
@@ -2038,19 +2044,7 @@ def q_pagerank_scores(spark, sf_dir):
             (F.lit(1) + F.col("src") % 3).alias("outdeg"),
         )
     )
-    ranks = docs.select(F.col("doc_id").alias("id"), F.lit(1.0 / n).alias("pr"))
-    for _ in range(3):
-        contrib = edges.join(ranks, edges.src == ranks.id).select(
-            "dst", (F.col("pr") / F.col("outdeg")).alias("c")
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg((F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("raw"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.floor(F.col("raw") * 1e8 + F.lit(0.5)) / 1e8).alias("pr"),
-            )
-        )
+    ranks = pagerank(docs.select(F.col("doc_id").alias("id")), edges, n, iterations=3)
     return (
         ranks.select(F.col("id").cast("bigint").alias("doc_id"), "pr")
         .orderBy(F.desc("pr"), "doc_id")
@@ -2058,26 +2052,46 @@ def q_pagerank_scores(spark, sf_dir):
     )
 
 
-SQL_PAGERANK_SCORES = """
-WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
-edges AS (
+def _pagerank_sql() -> str:
+    """Oracle mirror of pipeline.pagerank: per iteration, contributions
+    left-join onto the full node set (teleport floor for miss rows) and the
+    dangling-mass scalar (rank of src-less nodes — 0 on this graph) is added
+    inside the same rounded expression, in the same operation order."""
+    parts = [
+        "WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents)",
+        """edges AS (
   SELECT d.doc_id AS src,
          (d.doc_id * 31 + j.j) % (SELECT n FROM nn) AS dst,
          1 + d.doc_id % 3 AS outdeg
-  FROM documents d JOIN (VALUES (1), (2), (3)) j(j) ON j.j <= 1 + d.doc_id % 3
-),
-r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
-r1 AS (SELECT e.dst AS id,
-              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
-       FROM edges e JOIN r0 r ON r.id = e.src GROUP BY e.dst),
-r2 AS (SELECT e.dst AS id,
-              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
-       FROM edges e JOIN r1 r ON r.id = e.src GROUP BY e.dst),
-r3 AS (SELECT e.dst AS id,
-              FLOOR((0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / e.outdeg)) * 1e8 + 0.5) / 1e8 AS pr
-       FROM edges e JOIN r2 r ON r.id = e.src GROUP BY e.dst)
-SELECT CAST(id AS BIGINT) AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 20
-"""
+  FROM documents d JOIN (VALUES (1), (2), (3)) j(j) ON j.j <= 1 + d.doc_id % 3)""",
+        "srcs AS (SELECT DISTINCT src FROM edges)",
+        "r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr FROM documents)",
+    ]
+    for t in range(1, 4):
+        prev = f"r{t - 1}"
+        parts.append(
+            f"""c{t} AS (SELECT e.dst AS id, SUM(r.pr / e.outdeg) AS s
+       FROM edges e JOIN {prev} r ON r.id = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""d{t} AS (SELECT COALESCE(SUM(pr), 0.0) AS dm FROM {prev} r
+       WHERE NOT EXISTS (SELECT 1 FROM srcs WHERE srcs.src = r.id))"""
+        )
+        parts.append(
+            f"""r{t} AS (SELECT n.id,
+              FLOOR((0.15 / (SELECT n FROM nn)
+                     + 0.85 * (COALESCE(c.s, 0.0)
+                               + (SELECT dm FROM d{t}) / (SELECT n FROM nn)))
+                    * 1e8 + 0.5) / 1e8 AS pr
+       FROM {prev} n LEFT JOIN c{t} c ON c.id = n.id)"""
+        )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(id AS BIGINT) AS doc_id, pr FROM r3 ORDER BY pr DESC, doc_id LIMIT 20"
+    )
+
+
+SQL_PAGERANK_SCORES = _pagerank_sql()
 
 
 # ------------------------------- corpus hygiene: segments / contamination / PII
