@@ -134,10 +134,25 @@ def with_canonical_url(df, url_col: str = "url", out_col: str = "canonical_url")
 # MPL-2.0 — rule DATA, not code): the multi-label suffixes a crawler's
 # per-domain budgets most commonly mis-split on. Deliberately small and
 # offline (no network fetch, no tldextract dependency); extend by adding
-# entries. Single-label TLDs need no entry — the positional fallback already
-# handles them.
+# entries — full PSL rule semantics are supported (plain, ``*.`` wildcard,
+# ``!`` exception, any label depth). Single-label TLDs need no entry — the
+# default rule ``*`` already handles them.
 PUBLIC_SUFFIXES = frozenset(
     {
+        # wildcard + exception rules (PSL semantics: '*' matches exactly one
+        # label; '!' marks the registrable-domain exception to a wildcard)
+        "*.ck", "!www.ck",
+        "*.kawasaki.jp", "!city.kawasaki.jp",
+        "*.kitakyushu.jp", "!city.kitakyushu.jp",
+        "*.kobe.jp", "!city.kobe.jp",
+        "*.nagoya.jp", "!city.nagoya.jp",
+        "*.sapporo.jp", "!city.sapporo.jp",
+        "*.sendai.jp", "!city.sendai.jp",
+        "*.yokohama.jp", "!city.yokohama.jp",
+        "*.bd", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+        # 3-label plain rules (US locality scheme)
+        "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.wa.us",
+        "cc.ca.us", "lib.ca.us", "lib.ny.us",
         # UK
         "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "nhs.uk",
         "me.uk", "ltd.uk", "plc.uk",
@@ -170,18 +185,54 @@ PUBLIC_SUFFIXES = frozenset(
 )
 
 
+# Rules indexed by their rightmost label, parsed once at import: each entry
+# is (labels right-to-left with the rightmost dropped, is_exception). The
+# per-host match then touches only the handful of rules sharing its TLD.
+_PSL_BY_TLD: dict = {}
+for _rule in PUBLIC_SUFFIXES:
+    _exc = _rule.startswith("!")
+    _labs = _rule.lstrip("!").split(".")
+    _PSL_BY_TLD.setdefault(_labs[-1], []).append((_labs[-2::-1], _exc))
+del _rule, _exc, _labs
+
+
+def _psl_suffix_len(labels: list[str]) -> int:
+    """Public-suffix label count for a host, PSL algorithm
+    (publicsuffix.org/list/): among matching rules ('*' matches exactly one
+    label; a rule matches when its labels are a suffix of the host's), an
+    exception rule prevails with suffix = its labels minus the leftmost;
+    otherwise the longest match wins; no match falls back to the implicit
+    default rule '*' (suffix = the last label)."""
+    if not labels:
+        return 0
+    best = 1  # implicit default rule '*'
+    rev = labels[::-1]
+    for rest, is_exc in _PSL_BY_TLD.get(rev[0], ()):
+        n = len(rest) + 1
+        if len(rev) < n:
+            continue
+        if all(r == "*" or r == h for r, h in zip(rest, rev[1:])):
+            if is_exc:
+                return n - 1  # exception beats every other rule
+            best = max(best, n)
+    return best
+
+
 def parse_domain_info(url: str, public_suffix: bool = False) -> dict:
     """netloc / name / scheme / sld / tld / subdomain, frontera-shaped.
 
     frontera/utils/url.py:~30-100 returns these six fields in two modes:
     label-positional (default — tld = last label, sld = last two) and
     tldextract-backed. ``public_suffix=True`` reproduces the tldextract mode
-    against the embedded static ``PUBLIC_SUFFIXES`` subset: a host ending in
-    a known multi-label suffix splits as tld = that suffix, sld = registrable
-    domain (one label + suffix) — so ``shop.example.co.uk`` budgets under
-    ``example.co.uk``, not ``co.uk``. Hosts off the list fall back to the
-    positional heuristic (identical to the default mode), keeping the flag
-    safe to flip on mixed corpora.
+    against the embedded static ``PUBLIC_SUFFIXES`` subset with full PSL
+    rule semantics (plain, wildcard, exception, any label depth): a host
+    ending in a matched suffix splits as tld = that suffix, sld =
+    registrable domain (one label + suffix) — so ``shop.example.co.uk``
+    budgets under ``example.co.uk``, not ``co.uk``, and
+    ``foo.bar.kawasaki.jp`` under ``foo.bar.kawasaki.jp`` (``*.kawasaki.jp``
+    wildcard). Hosts matching no embedded rule fall back to the implicit
+    default rule (suffix = last label — identical to the positional mode),
+    keeping the flag safe to flip on mixed corpora.
     """
     try:
         parts = urlsplit(url)
@@ -190,9 +241,9 @@ def parse_domain_info(url: str, public_suffix: bool = False) -> dict:
     netloc = parts.netloc
     host = netloc.partition(":")[0].lower()
     labels = [x for x in host.split(".") if x]
-    suffix_len = 1
-    if public_suffix and len(labels) >= 3 and ".".join(labels[-2:]) in PUBLIC_SUFFIXES:
-        suffix_len = 2
+    suffix_len = _psl_suffix_len(labels) if public_suffix else 1
+    if suffix_len > 1 and len(labels) <= suffix_len:
+        suffix_len = 1  # host IS a public suffix: positional fallback (r3 golden)
     if len(labels) >= suffix_len + 1:
         tld = ".".join(labels[-suffix_len:])
         sld = ".".join(labels[-(suffix_len + 1):])

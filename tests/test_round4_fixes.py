@@ -67,6 +67,50 @@ def test_pagerank_indegree0_keeps_teleport_floor_and_contributes(spark):
             assert v == pytest.approx(1.0 / 3.0, abs=1e-6)
 
 
+# --------------------------------------------------- PSL rule semantics
+
+
+def test_psl_wildcard_exception_and_3label_rules():
+    from frontera_spark.functions.urls import parse_domain_info
+
+    cases = {
+        # wildcard '*.ck': suffix = one label + ck
+        "http://foo.bar.ck/": ("foo.bar.ck", "bar.ck", ""),
+        "http://a.foo.bar.ck/": ("foo.bar.ck", "bar.ck", "a"),
+        # exception '!www.ck' beats the wildcard: www.ck is registrable
+        "http://www.ck/": ("www.ck", "ck", ""),
+        "http://shop.www.ck/": ("www.ck", "ck", "shop"),
+        # wildcard '*.kawasaki.jp' (3-label suffix via wildcard)
+        "http://foo.bar.kawasaki.jp/": ("foo.bar.kawasaki.jp", "bar.kawasaki.jp", ""),
+        # exception '!city.kawasaki.jp': registrable under kawasaki.jp
+        "http://city.kawasaki.jp/": ("city.kawasaki.jp", "kawasaki.jp", ""),
+        "http://www.city.kawasaki.jp/": ("city.kawasaki.jp", "kawasaki.jp", "www"),
+        # plain 3-label rule
+        "http://school.k12.ca.us/": ("school.k12.ca.us", "k12.ca.us", ""),
+        "http://www.school.k12.ca.us/": ("school.k12.ca.us", "k12.ca.us", "www"),
+        # 2-label subset unchanged
+        "https://www.example.co.uk/p": ("example.co.uk", "co.uk", "www"),
+        # longest match wins: lib.ca.us (3) over positional
+        "http://x.lib.ca.us/": ("x.lib.ca.us", "lib.ca.us", ""),
+    }
+    for url, (sld, tld, sub) in cases.items():
+        d = parse_domain_info(url, public_suffix=True)
+        assert (d["sld"], d["tld"], d["subdomain"]) == (sld, tld, sub), url
+
+
+def test_psl_default_heuristic_and_fallbacks_unchanged():
+    from frontera_spark.functions.urls import parse_domain_info
+
+    # default mode: positional, PSL rules ignored entirely
+    d = parse_domain_info("http://foo.bar.ck/")
+    assert (d["sld"], d["tld"], d["subdomain"]) == ("bar.ck", "ck", "foo")
+    # suffix itself as host: positional fallback (r3 golden behavior)
+    d = parse_domain_info("https://co.uk/", public_suffix=True)
+    assert (d["sld"], d["tld"]) == ("co.uk", "uk")
+    d = parse_domain_info("http://bar.kawasaki.jp/", public_suffix=True)
+    assert (d["sld"], d["tld"], d["subdomain"]) == ("kawasaki.jp", "jp", "bar")
+
+
 def test_pagerank_dangling_mass_redistributes(spark):
     """Graph with a genuine dangling node (1 has no out-edges): its rank
     must redistribute uniformly instead of evaporating — sum(pr) stays 1."""
