@@ -1060,23 +1060,29 @@ def q_neardup_components(spark, sf_dir):
 
 def q_incremental_neardup(spark, sf_dir):
     """Incremental near-dup lookup — the per-ingest dedup a crawler/training
-    pipeline runs on EVERY batch: corpus = the documents table (its LSH
-    band keys + shingle sets are the reusable index; production persists
-    them and appends accepted batches), new batch = the deterministic
-    variants (doc_id + 1,000,000, first token dropped). Candidates come
-    from a corpus ⋈ batch (band, sig) EQUI-join — never corpus×corpus or
+    pipeline runs on EVERY batch: corpus = the documents table, whose LSH
+    band keys + shingle sets are MATERIALIZED as a persisted
+    MinHashLshIndex (operators/lsh_index.py — SnapshotTables, built here
+    once, the per-corpus-version cost); the batch = the deterministic
+    variants (doc_id + 1,000,000, first token dropped) probes the index
+    WITHOUT rescanning corpus text — band partitions are pruned to the
+    batch's signature buckets (crc32(sig) % P layout). Candidates come
+    from an index ⋈ batch (band, sig) EQUI-join — never corpus×corpus or
     batch×batch — and exact Jaccard verifies candidates only. Returns
     (a = corpus doc_id, b = new doc_id, jaccard). Semantically identical to
     filtering the full self-join pair set to cross pairs, which is exactly
     what the oracle does. Implementation:
-    operators/pipeline.minhash_lsh_lookup."""
+    operators/pipeline.minhash_lsh_lookup(storage=...)."""
+    import tempfile
+
     from frontera_spark.operators.pipeline import minhash_lsh_lookup
 
     aug = _aug_docs(spark, sf_dir)
     corpus = aug.filter(F.col("doc_id") < 1000000)
     batch = aug.filter(F.col("doc_id") >= 1000000)
     out = minhash_lsh_lookup(
-        corpus, batch, bands=_LSH_BANDS, r=_LSH_R, jaccard_min=_LSH_JACCARD_MIN
+        corpus, batch, bands=_LSH_BANDS, r=_LSH_R, jaccard_min=_LSH_JACCARD_MIN,
+        storage=tempfile.mkdtemp(prefix="lshidx_"),
     )
     return out.select(
         F.col("a").cast("long").alias("a"),

@@ -67,6 +67,101 @@ def test_pagerank_indegree0_keeps_teleport_floor_and_contributes(spark):
             assert v == pytest.approx(1.0 / 3.0, abs=1e-6)
 
 
+# ------------------------------------------------- persisted MinHash-LSH index
+
+
+def _docs_df(spark, tmp_path):
+    """A small corpus WRITTEN TO PARQUET (so the probe plan's file scans are
+    attributable to a path) + a batch with guaranteed near-dups."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12))) for i in range(40)
+    ]
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    corpus = spark.read.parquet(p)
+    import pyspark.sql.functions as SF
+
+    batch = (
+        corpus.filter(SF.col("doc_id") < 10)
+        .select(
+            (SF.col("doc_id") + 1000).alias("doc_id"),
+            SF.concat_ws(
+                " ", SF.slice(SF.split("text", " "), 2, 11)
+            ).alias("text"),
+        )
+    )
+    return corpus, batch, p
+
+
+def test_lsh_index_probe_matches_inmemory_lookup(spark, tmp_path):
+    from frontera_spark.operators.lsh_index import MinHashLshIndex
+    from frontera_spark.operators.pipeline import minhash_lsh_lookup
+
+    corpus, batch, _ = _docs_df(spark, tmp_path)
+    want = sorted(
+        tuple(r) for r in minhash_lsh_lookup(corpus, batch, jaccard_min=0.3).collect()
+    )
+    idx = MinHashLshIndex.build(spark, str(tmp_path / "idx"), corpus)
+    got = sorted(tuple(r) for r in idx.probe(batch, jaccard_min=0.3).collect())
+    assert got == want and len(got) > 0
+
+
+def test_lsh_index_probe_never_scans_corpus_text(spark, tmp_path):
+    """The r3 scale gap: the probe must read the index tables, not re-shingle
+    corpus text. Pin: no file scan of the corpus parquet in the probe plan."""
+    from frontera_spark.operators.lsh_index import MinHashLshIndex
+
+    corpus, batch, corpus_path = _docs_df(spark, tmp_path)
+    idx = MinHashLshIndex.build(spark, str(tmp_path / "idx"), corpus)
+    # the batch arrives as its own source file (as in a real ingest)
+    bp = str(tmp_path / "batch.parquet")
+    batch.write.mode("overwrite").parquet(bp)
+    out = idx.probe(spark.read.parquet(bp), jaccard_min=0.3)
+    files = out.inputFiles()
+    assert files, "probe plan reads no files?"
+    assert not any("corpus.parquet" in f for f in files), (
+        "probe plan rescans corpus text"
+    )
+    assert any("/idx/" in f for f in files)  # reads the persisted index
+    assert any("batch.parquet" in f for f in files)
+
+
+def test_lsh_index_accept_extends_probe_surface(spark, tmp_path):
+    from frontera_spark.operators.lsh_index import MinHashLshIndex
+
+    corpus, batch, _ = _docs_df(spark, tmp_path)
+    idx = MinHashLshIndex.build(spark, str(tmp_path / "idx"), corpus)
+    # admit the batch; a near-copy of an admitted doc must now hit it
+    idx.accept(batch)
+    import pyspark.sql.functions as SF
+
+    batch2 = batch.select((SF.col("doc_id") + 1000).alias("doc_id"), "text")
+    hits = idx.probe(batch2, jaccard_min=0.9).collect()
+    got_as = {r["a"] for r in hits}
+    assert any(a >= 1000 for a in got_as), "appended docs absent from index"
+    # reload from disk: manifest meta makes the index self-describing
+    idx2 = MinHashLshIndex(spark, str(tmp_path / "idx"))
+    assert (idx2.bands, idx2.r) == (idx.bands, idx.r)
+    assert len(idx2.probe(batch2, jaccard_min=0.9).collect()) == len(hits)
+
+
+def test_clean_corpus_leaves_no_cached_frames(spark, tmp_path):
+    from frontera_spark.operators.pipeline import clean_corpus
+
+    spark.catalog.clearCache()
+    rows = [
+        (i, "the quick brown fox " + " ".join(f"w{(i * 3 + k) % 17}" for k in range(8)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, counts = clean_corpus(docs, workdir=str(tmp_path / "cc"), min_quality=0.0)
+    assert counts["input"] == 30 and out.count() == counts["after_lang_filter"]
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "clean_corpus left cached frames registered"
+
+
 # --------------------------------------------------- PSL rule semantics
 
 
