@@ -162,6 +162,72 @@ def test_clean_corpus_leaves_no_cached_frames(spark, tmp_path):
     assert cm.isEmpty(), "clean_corpus left cached frames registered"
 
 
+# ------------------------------------------------------ persisted IVF index
+
+
+def _vec_df(spark, n=64, dim=8):
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.37 + d) for d in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_ivf_probe_reads_only_nprobe_cell_partitions(spark, tmp_path):
+    from frontera_spark.operators.ivf_index import IvfIndex
+    from frontera_spark.operators.pipeline import kmeans_fit
+
+    vecs = _vec_df(spark)
+    cents = kmeans_fit(vecs, k=4, iterations=2)
+    idx = IvfIndex.build(spark, str(tmp_path / "ivf"), vecs, cents)
+    qv = [1.0] + [0.0] * 7
+    cells = idx.probe_cells(qv, nprobe=2)
+    out = idx.topk(qv, k=5, nprobe=2)
+    out.collect()
+    # the pruning evidence lives in the physical scan's PartitionFilters
+    # (inputFiles() lists the relation pre-pruning, so it can't pin this)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    want = f"partition_id#\\d+ IN \\({','.join(str(c) for c in sorted(cells))}\\)"
+    import re
+
+    assert re.search(want, plan), f"no PartitionFilters for cells {cells}:\n{plan[:2000]}"
+    # top-k within the probed cells matches a manual scan of those cells
+    manual = (
+        idx.table.read()
+        .filter(F.col("partition_id").isin(cells))
+        .count()
+    )
+    assert manual >= out.count()
+
+
+def test_ivf_append_and_metadata_cell_counts(spark, tmp_path):
+    from frontera_spark.operators.ivf_index import IvfIndex
+    from frontera_spark.operators.pipeline import kmeans_fit
+
+    vecs = _vec_df(spark, n=48)
+    cents = kmeans_fit(vecs, k=4, iterations=2)
+    idx = IvfIndex.build(spark, str(tmp_path / "ivf"), vecs, cents)
+    before = dict(idx.cell_counts())
+    assert sum(before.values()) == 48
+    # metadata-only counts equal a real groupBy of the table
+    real = {
+        int(r["partition_id"]): r["c"]
+        for r in idx.table.read().groupBy("partition_id").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    assert before == real
+    # append assigns against STORED centroids; reload round-trips them
+    extra = _vec_df(spark, n=8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "v"
+    )
+    idx.append(extra)
+    idx2 = IvfIndex(spark, str(tmp_path / "ivf"))
+    assert idx2.centroids == idx.centroids
+    assert sum(dict(idx2.cell_counts()).values()) == 56
+
+
 # --------------------------------------------------- PSL rule semantics
 
 
