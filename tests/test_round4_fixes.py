@@ -228,6 +228,23 @@ def test_ivf_append_and_metadata_cell_counts(spark, tmp_path):
     assert sum(dict(idx2.cell_counts()).values()) == 56
 
 
+# -------------------------------------------- embedding LSH candidate stats
+
+
+def test_embed_band_stats_prices_the_equi_join(spark):
+    """The candidate-mass observable (phash_bucket_stats treatment for the
+    embedding side): per-band bucket stats must account for every vector in
+    every band, and candidate mass must be the pairwise sum."""
+    from frontera_spark.operators.driver_queries import embed_band_stats
+
+    rows = embed_band_stats(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 16  # one row per band
+    n_vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    for r in rows:
+        assert r["max_bucket"] <= n_vecs
+        assert r["cand_pairs"] >= (r["max_bucket"] * (r["max_bucket"] - 1)) // 2
+
+
 # --------------------------------------------------- PSL rule semantics
 
 
