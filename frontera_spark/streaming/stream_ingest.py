@@ -205,6 +205,7 @@ def stream_polite_gate(
     capacity: float = 2.0,
     refill_per_batch: float = 2.0,
     queryName: str = "polite_gate",
+    refill_mode: str = "appearance",
 ):
     """Custom STATEFUL streaming operator (``applyInPandasWithState``):
     per-host token-bucket admission over the spider-feed stream.
@@ -214,44 +215,72 @@ def stream_polite_gate(
     equivalent frontera's OverusedBuffer played (frontera/core/__init__.py
     ~20-120): requests for a host beyond its budget are DEFERRED, others
     served, and the per-host bucket survives across micro-batches as
-    operator state. Deterministic by construction: tokens refill by
-    ``refill_per_batch`` per micro-batch IN WHICH THE HOST APPEARS (the
-    state function only runs for present hosts — appearance-based refill,
-    capped at ``capacity``; with the default refill == capacity a returning
-    host always serves at full budget, and a smaller refill throttles a
-    host per feed appearance, not per wall-clock batch — time-based refill
-    lives in the batch scheduler, core/politeness.py). Requests admit in
-    global ``seq`` order within the micro-batch — replaying the same
-    batches yields the same decisions, so checkpoint recovery is
-    exactly-once.
+    operator state. Requests admit in global ``seq`` order within the
+    micro-batch — replaying the same batches yields the same decisions, so
+    checkpoint recovery is exactly-once.
 
-    State is one (tokens) row per host — bounded by host count, not by
-    traffic.
+    Two DETERMINISTIC refill clocks (``refill_mode``):
+
+    - ``"appearance"`` (default): tokens refill by ``refill_per_batch`` per
+      micro-batch IN WHICH THE HOST APPEARS (the state function only runs
+      for present hosts; capped at ``capacity``). With refill == capacity a
+      returning host always serves at full budget; a smaller refill
+      throttles per feed appearance, not per elapsed time.
+    - ``"batch_clock"`` (r4, closes the r3 divergence from the batch
+      scheduler): tokens refill by ``refill_per_batch`` × Δbatch_id — the
+      feed's monotone crawl-iteration counter is the TIME axis, so a host
+      absent for 5 iterations returns with 5 refills (capped), exactly like
+      the batch scheduler's clock-based buckets with the iteration counter
+      as the clock. batch_id rides IN the data, so replay after a crash
+      reproduces the same refills — a processing-time clock would not.
+
+    State is one (tokens, last_batch) row per host — bounded by host count,
+    not by traffic.
     """
     import pandas as pd  # noqa: F401  (worker-side)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from frontera_spark.streaming.codecs import decode_feed
 
+    if refill_mode not in ("appearance", "batch_clock"):
+        raise ValueError(f"refill_mode must be appearance|batch_clock, got {refill_mode!r}")
+
     raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(source_dir)
     feed = decode_feed(raw.select(F.col("value")))
 
     out_schema = "host string, seq long, url string, served boolean"
-    state_schema = "tokens double"
+    state_schema = "tokens double, last_batch long"
+    by_clock = refill_mode == "batch_clock"
 
     def gate(key, pdf_iter, state):
         import pandas as pd
 
         (host,) = key
-        (tokens,) = state.get if state.exists else (float(capacity),)
-        tokens = min(float(capacity), tokens + float(refill_per_batch)) if state.exists else tokens
+        if state.exists:
+            tokens, last_batch = state.get
+            if last_batch is not None and last_batch < 0:
+                last_batch = None  # -1 = "no clock yet" sentinel
+            if not by_clock:
+                tokens = min(float(capacity), tokens + float(refill_per_batch))
+        else:
+            tokens, last_batch = float(capacity), None
         # drain the whole group BEFORE sorting: the iterator yields Arrow
         # chunks whose boundaries depend on partition layout — sorting each
         # chunk independently would admit chunk-locally, not in global seq
-        # order, and replay after a repartition could serve different rows
-        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("seq")
+        # order, and replay after a repartition could serve different rows.
+        # batch_id leads the sort so the clock only moves forward.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["batch_id", "seq"] if by_clock else "seq"
+        )
         served = []
-        for _ in range(len(pdf)):
+        for b in pdf["batch_id"].tolist():
+            if by_clock and last_batch is not None and b > last_batch:
+                tokens = min(
+                    float(capacity),
+                    tokens + float(refill_per_batch) * (b - last_batch),
+                )
+            if by_clock:
+                last_batch = b if last_batch is None else max(last_batch, b)
             if tokens >= 1.0:
                 tokens -= 1.0
                 served.append(True)
@@ -265,7 +294,7 @@ def stream_polite_gate(
                 "served": served,
             }
         )
-        state.update((tokens,))
+        state.update((tokens, -1 if last_batch is None else int(last_batch)))
 
     gated = feed.groupBy("host").applyInPandasWithState(
         gate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -228,6 +228,63 @@ def test_ivf_append_and_metadata_cell_counts(spark, tmp_path):
     assert sum(dict(idx2.cell_counts()).values()) == 56
 
 
+# --------------------------------------- streaming polite gate: batch clock
+
+
+def test_stream_polite_gate_batch_clock_refill(spark, tmp_path):
+    """refill_mode='batch_clock': tokens refill by rate × Δbatch_id — the
+    feed's crawl-iteration counter is the clock, so a host absent for
+    several iterations returns with the elapsed refills (capped), matching
+    the batch scheduler's time-based buckets. Deterministic: the clock
+    rides in the data, not in processing time."""
+    import json
+
+    from frontera_spark.streaming.stream_ingest import stream_polite_gate
+
+    src = tmp_path / "feed_in"
+    src.mkdir()
+
+    def feed_msg(fp, host, seq, batch_id):
+        return json.dumps(
+            {
+                "type": "fetch_request",
+                "fingerprint": fp,
+                "url": f"https://{host}/{seq}",
+                "canonical_url": f"https://{host}/{seq}",
+                "host": host,
+                "score": 0.5,
+                "depth": 0,
+                "seq": seq,
+                "jid": 0,
+                "batch_id": batch_id,
+            }
+        )
+
+    # iteration 0: 3 requests, capacity 2 -> serve 1,2; defer 3. tokens=0
+    (src / "f1.txt").write_text(
+        "\n".join(feed_msg(i, "a.test", i, 0) for i in (1, 2, 3))
+    )
+    # host skips iteration 1; reappears at iteration 2: Δbatch = 2 ->
+    # refill 2 × 1.0 = 2 tokens -> serve 4,5; defer 6. (appearance mode
+    # would refill only 1.0 here and serve a single row.)
+    (src / "f2.txt").write_text(
+        "\n".join(feed_msg(i, "a.test", i, 2) for i in (4, 5, 6))
+    )
+
+    q = stream_polite_gate(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_gate_clock"),
+        capacity=2.0,
+        refill_per_batch=1.0,
+        queryName="pg_clock_test",
+        refill_mode="batch_clock",
+    )
+    q.awaitTermination(180)
+    rows = {r["seq"]: r["served"] for r in spark.sql("select * from pg_clock_test").collect()}
+    assert rows == {1: True, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
 # -------------------------------------------- embedding LSH candidate stats
 
 
