@@ -65,6 +65,11 @@ class FrontierEngine:
     # assignment; above it, range-repartitioned rank + driver offsets
     # (see _finalize). Tests shrink this to drive the bulk path.
     BULK_SORT_ROWS = 1 << 18
+    # compact a partition once fast-appends stack more than this many leaf
+    # dirs on it (or marks more than this many overlay dirs): each append is
+    # O(batch), and one rewrite then amortizes over the COMPACT_MAX_DIRS
+    # appends that caused it. Tests shrink this to force compaction.
+    COMPACT_MAX_DIRS = 8
 
     def __init__(
         self,
@@ -428,9 +433,8 @@ class FrontierEngine:
                 self._mark(extra_updates, pids=upd_pids)
             _upd_done()
             return 0
-        # ``pids`` (all candidate partitions) over-approximates the touched
-        # set — safe: upsert rewrites-and-relinks those partitions either way
         gen = self.seen_gen + 1
+        meta = {"next_seq": next_seq + n_queued, "seen_gen": gen}
         if extra_updates is not None:
             # narrow update rows padded with nulls: the merge's matched
             # branch reads only key + set_cols from the source, and only
@@ -439,18 +443,29 @@ class FrontierEngine:
             # NOT in the table (foreign/malformed bus message, replay across
             # a table reset) drops instead of inserting a null-padded row —
             # same no-op semantics as record_results/_mark (insert=False).
+            # ``pids`` (all candidate partitions) over-approximates the
+            # touched set — safe: upsert rewrites-and-relinks either way.
             rows = rows.withColumn("_upd_only", F.lit(False)).unionByName(
                 extra_updates.select("fingerprint", "partition_id", "state")
                 .withColumn("_upd_only", F.lit(True)),
                 allowMissingColumns=True,
             )
-        self.table.upsert(
-            rows,
-            set_cols=["state"] if extra_updates is not None else None,
-            meta={"next_seq": next_seq + n_queued, "seen_gen": gen},
-            affected_pids=sorted({*pids, *upd_pids}),
-            no_insert_col="_upd_only" if extra_updates is not None else None,
-        )
+            self.table.upsert(
+                rows,
+                set_cols=["state"],
+                meta=meta,
+                affected_pids=sorted({*pids, *upd_pids}),
+                no_insert_col="_upd_only",
+            )
+        else:
+            # pure-insert commit (seed loads, link scheduling with no state
+            # updates riding along): every row is post-anti-join fresh, so
+            # this is a FAST APPEND — new leaf dirs extend the touched
+            # partitions' manifests, the 10^10-row table is never read or
+            # rewritten. O(batch) regardless of table size, where the COW
+            # merge was O(affected partitions). compact_if_needed() (called
+            # by the crawl loop) folds accumulated append dirs back down.
+            self.table.append(rows, meta=meta)
         if self.seen is not None:
             # shard update AFTER the merge, manifest sync last: a crash in
             # between leaves the manifest stale → rebuild at next load, so
@@ -685,6 +700,22 @@ class FrontierEngine:
             m["parent_id"] = m["snapshot_id"] - 1
             self.table._write_manifest(m)
         return marked
+
+    def compact_if_needed(self) -> bool:
+        """Fold append-accumulated leaf dirs (and over-long mark overlays)
+        when any partition crosses COMPACT_MAX_DIRS. The check reads only the
+        manifest (zero Spark jobs); steady-state iterations where nothing
+        crossed the bound pay nothing. Returns True when a compaction ran."""
+        s = self.table.maintenance_stats()
+        if (
+            s["max_dirs"] <= self.COMPACT_MAX_DIRS
+            and s["max_mark_dirs"] <= self.COMPACT_MAX_DIRS
+        ):
+            return False
+        self.table.compact(
+            max_dirs=self.COMPACT_MAX_DIRS, max_mark_dirs=self.COMPACT_MAX_DIRS
+        )
+        return True
 
     def take_pop_counts(self) -> dict[int, int]:
         """Consume the per-partition row counts of the pop that just ran

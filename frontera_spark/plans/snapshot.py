@@ -139,8 +139,9 @@ class SnapshotTable:
             return base
         # merge-on-read overlay (add_marks): latest mark per key overrides the
         # base values of mark_cols. The overlay is bounded by in-flight
-        # batches (every COW commit absorbs-and-drops its partitions' marks),
-        # so the build side broadcasts — the base table never shuffles here.
+        # batches plus the compaction window (every COW commit absorbs-and-
+        # drops its partitions' marks, and compact() folds any that outlive
+        # one), so the build side broadcasts — the base never shuffles here.
         # Base columns OUTSIDE mark_cols stay scan-accurate, so their filters
         # still push down to parquet; mark_cols filters evaluate post-join.
         # overlay keyed on (key, partition_id), not the manifest key alone:
@@ -519,6 +520,84 @@ class SnapshotTable:
             source.unpersist()
         # partitions that became empty still count as affected (dropped)
         return self._commit(new_dirs, new_counts, affected, meta)
+
+    def append(self, source: DataFrame, meta: dict | None = None) -> int:
+        """Fast append (Iceberg's append snapshot): commit ``source`` as NEW
+        leaf dirs EXTENDING each touched partition's dir list — one O(batch)
+        write job + a manifest swap. The target is never read, joined, or
+        rewritten, so an insert-only commit against a 10^10-row table costs
+        the same as against an empty one (upsert's COW join path rewrites
+        every affected partition — O(partition) per touched partition).
+
+        PRECONDITION: the caller guarantees ``source`` keys are absent from
+        the table (the frontier anti-joins candidates against the seen set
+        before scheduling). Appending an existing key produces a duplicate —
+        exactly Iceberg's fast-append contract, where uniqueness lives above
+        the table layer.
+
+        Appends accumulate leaf dirs per partition; ``compact()`` is the
+        maintenance companion that folds them back to one dir per partition.
+        Live marks are untouched (appended rows are new keys — no mark can
+        reference them)."""
+        m = self.manifest()
+        sid = m["snapshot_id"] + 1
+        new_dirs, new_counts = self._write_partitions(source, sid)
+        if not new_dirs and meta is None:
+            return m["snapshot_id"]  # empty append: no-op, no new snapshot
+        dirs = {p: list(ds) for p, ds in m["dirs"].items()}
+        counters = {p: int(c) for p, c in m["counters"].items()}
+        for p, ds in new_dirs.items():
+            dirs[p] = dirs.get(p, []) + ds
+            counters[p] = counters.get(p, 0) + int(new_counts[p])
+        manifest = {
+            **m,
+            "snapshot_id": sid,
+            "parent_id": m["snapshot_id"],
+            "dirs": dirs,
+            "counters": counters,
+            "meta": {**m.get("meta", {}), **(meta or {})},
+            "committed_at": time.time(),
+        }
+        self._write_manifest(manifest)
+        return sid
+
+    def compact(
+        self, max_dirs: int = 4, max_mark_dirs: int = 4, meta: dict | None = None
+    ) -> int:
+        """Fold partitions whose leaf-dir count exceeds ``max_dirs`` (append
+        accumulation) or whose live-mark-dir count exceeds ``max_mark_dirs``
+        (merge-on-read accumulation) back to ONE leaf dir each, absorbing
+        their marks — Iceberg/Delta's rewrite_data_files maintenance action.
+        The decision is metadata-only (manifest dir counts); the rewrite
+        reads through the mark overlay so the result is bit-identical to
+        ``read()`` before the call. Untouched partitions are re-linked.
+        Returns the new snapshot id (current id if nothing qualifies)."""
+        m = self.manifest()
+        heavy = {p for p, ds in m["dirs"].items() if len(ds) > max_dirs}
+        heavy |= {
+            p for p, ds in m.get("marks", {}).items() if len(ds) > max_mark_dirs
+        }
+        if not heavy:
+            return m["snapshot_id"]
+        df = self.read().filter(
+            F.col(PARTITION_COL).isin([int(p) for p in heavy])
+        )
+        sid = m["snapshot_id"] + 1
+        new_dirs, new_counts = self._write_partitions(df, sid)
+        return self._commit(new_dirs, new_counts, heavy, meta)
+
+    def maintenance_stats(self) -> dict:
+        """Metadata-only observables a maintenance policy keys on: max/total
+        leaf dirs per partition and live mark dirs (zero Spark jobs)."""
+        m = self.manifest()
+        dir_counts = [len(ds) for ds in m["dirs"].values()] or [0]
+        mark_counts = [len(ds) for ds in m.get("marks", {}).values()] or [0]
+        return {
+            "max_dirs": max(dir_counts),
+            "total_dirs": sum(dir_counts),
+            "max_mark_dirs": max(mark_counts),
+            "total_mark_dirs": sum(mark_counts),
+        }
 
     def delete_where(self, condition, meta: dict | None = None) -> int:
         """Delete rows matching condition (rewrites affected partitions)."""

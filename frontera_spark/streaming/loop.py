@@ -405,6 +405,13 @@ class CrawlLoop:
                 self.engine.table.vacuum(keep_last=vacuum_keep)
                 if self.scheduler is not None:
                     self.scheduler.domains.table.vacuum(keep_last=vacuum_keep)
+            # maintenance: fold append-accumulated leaf dirs (and any
+            # over-long mark overlays) back to one dir per partition. The
+            # check is manifest metadata only (zero Spark jobs); the rewrite
+            # runs only when a partition's delta count crosses the bound, so
+            # its cost amortizes over the appends that created the deltas —
+            # Iceberg's rewrite_data_files scheduled inline.
+            self.engine.compact_if_needed()
             m = self.run_iteration()
             if verbose:
                 print(m)
