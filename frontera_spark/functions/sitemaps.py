@@ -1,0 +1,44 @@
+"""Sitemap (sitemaps.org XML) URL extraction as JVM expression chains.
+
+frontera seeds come from a flat URL list (frontera/utils/add_seeds.py); real
+crawls bootstrap from per-host sitemap.xml documents, and at 10^10-URL scale
+the extraction must be a distributed projection, not a driver-side XML
+parser. The sitemaps.org payload that matters for seeding is the ``<loc>``
+URL set (optionally ``<lastmod>``); both are line-free element bodies, so a
+single ``regexp_extract_all`` per document extracts them without an XML
+library — the same subset Scrapy's SitemapSpider regex fallback handles.
+
+Scale shape: ``extract_locs`` is a pure projection (regexp + explode) — no
+shuffle, no Python; a million sitemap docs fan out to their URL sets
+entirely inside whole-stage codegen. Nested sitemap *indexes* (<sitemap>
+entries pointing at more sitemaps) are one extra iteration of the same
+projection, driven by the crawl loop like any other link-following step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+
+
+def loc_urls(xml: Column) -> Column:
+    """Array of ``<loc>`` URL bodies in document order (whitespace-trimmed)."""
+    return F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1))
+
+
+def extract_locs(docs: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Explode each sitemap document into one row per ``<loc>`` URL.
+
+    Output: the input columns (minus the XML body) + ``url`` (string) +
+    ``n_locs`` (bigint, the document's URL count — kept so callers can gate
+    oversized sitemaps against the 50k-URL sitemaps.org cap without a
+    second pass)."""
+    urls = loc_urls(F.col(xml_col))
+    keep = [c for c in docs.columns if c != xml_col]
+    return docs.select(
+        *keep,
+        F.size(urls).cast("bigint").alias("n_locs"),
+        F.explode(urls).alias("url"),
+    )

@@ -2331,6 +2331,141 @@ FROM clicks c LEFT JOIN LATERAL (
 """
 
 
+# ----------------------------------------------- R4: crawler-trap detection
+
+
+def q_trap_detection(spark, sf_dir):
+    """Per-host URL-aliasing trap detector (core/traps.py): synthesize a
+    crawl frontier where 4 of the 31 hosts (host index % 7 == 3: h3, h10,
+    h17, h24) emit THREE distinct URLs per content item (the canonical URL
+    plus two query-string aliases — the session-id / calendar-param trap
+    shape), then flag hosts whose distinct-URL : distinct-content ratio
+    crosses 2.0.
+
+    Scale shape: variant fan-out is a codegen projection (array + explode);
+    the detector is ONE hash aggregation keyed on host. At 100 TB the exact
+    countDistinct swaps for approx_count_distinct without changing the plan."""
+    from frontera_spark.core.traps import url_alias_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url().alias("url0"), _host().alias("host")
+    )
+    trapped = (F.col("doc_id") % 31) % 7 == 3
+    variants = F.array_compact(
+        F.array(
+            F.col("url0"),
+            F.when(trapped, F.concat(F.col("url0"), F.lit("?sid="), F.col("doc_id").cast("string"))),
+            F.when(
+                trapped,
+                F.concat(F.col("url0"), F.lit("?ref=home&cal="), (F.col("doc_id") % 13).cast("string")),
+            ),
+        )
+    )
+    urls = docs.select(
+        F.col("host"), F.col("doc_id").alias("content_key"), F.explode(variants).alias("url")
+    )
+    return url_alias_stats(urls, ratio_threshold=2.0)
+
+
+SQL_TRAP_DETECTION = f"""
+WITH u AS (
+  SELECT doc_id, {_HOST_SQL} AS host, {_URL_SQL} AS url FROM documents
+  UNION ALL
+  SELECT doc_id, {_HOST_SQL}, {_URL_SQL} || '?sid=' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE (doc_id % 31) % 7 = 3
+  UNION ALL
+  SELECT doc_id, {_HOST_SQL}, {_URL_SQL} || '?ref=home&cal=' || CAST(doc_id % 13 AS VARCHAR)
+  FROM documents WHERE (doc_id % 31) % 7 = 3
+),
+t AS (
+  SELECT host,
+         COUNT(DISTINCT url) AS n_urls,
+         COUNT(DISTINCT doc_id) AS n_content,
+         COUNT(DISTINCT regexp_replace(regexp_replace(url, '[?#].*$', ''), '[0-9]+', 'N', 'g'))
+           AS n_templates
+  FROM u GROUP BY host
+)
+SELECT host, n_urls, n_content, n_templates,
+       FLOOR(CAST(n_urls AS DOUBLE) / n_content * 10000.0 + 0.5) / 10000.0 AS alias_ratio,
+       FLOOR(CAST(n_urls AS DOUBLE) / n_templates * 10000.0 + 0.5) / 10000.0 AS template_fanout,
+       CAST(n_urls AS DOUBLE) / n_content >= 2.0 AS is_trap
+FROM t
+"""
+
+
+# --------------------------------------- R4: adaptive revisit rate estimator
+
+
+def q_revisit_schedule(spark, sf_dir):
+    """Cho–Garcia-Molina change-rate revisit schedule (core/revisit.py) over
+    the events stream: each user_id is a page, each event an observed change;
+    pages with >= 2 changes get a Poisson rate estimate and a next-due time
+    one mean inter-change gap after the last observation. One hash agg; all
+    timestamp math integer microseconds so both engines agree exactly."""
+    from frontera_spark.core.revisit import change_rate_schedule
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("page_id"), "ts")
+    return change_rate_schedule(ev, "page_id", "ts")
+
+
+SQL_REVISIT_SCHEDULE = """
+WITH a AS (
+  SELECT user_id AS page_id, COUNT(*) AS n_changes,
+         MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+)
+SELECT page_id, n_changes, last_us,
+       FLOOR((n_changes - 1) * 86400000000.0 / (last_us - first_us) * 10000.0 + 0.5) / 10000.0
+         AS rate_per_day,
+       last_us + (last_us - first_us) // (n_changes - 1) AS next_due_us
+FROM a WHERE n_changes >= 2 AND last_us > first_us
+"""
+
+
+# ----------------------------------------------- R4: sitemap URL extraction
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap round-trip (functions/sitemaps.py): build one sitemaps.org XML
+    document per host from its corpus URLs (deterministic sorted body, with
+    whitespace padding inside <loc> to exercise the trim), then extract and
+    explode the <loc> set — the distributed seed-ingest path a real crawl
+    bootstraps from. Extraction is regexp + explode, pure codegen."""
+    from frontera_spark.functions.sitemaps import extract_locs
+
+    entry = F.concat(F.lit("<url><loc> "), _url(), F.lit(" </loc></url>"))
+    xml = (
+        _t(spark, sf_dir, "documents")
+        .select(_host().alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list("entry"))).alias("body"))
+        .select(
+            "host",
+            F.concat(F.lit("<urlset>"), F.col("body"), F.lit("</urlset>")).alias("sitemap_xml"),
+        )
+    )
+    return extract_locs(xml, "sitemap_xml").select("host", "n_locs", "url")
+
+
+SQL_SITEMAP_EXTRACT = rf"""
+WITH d AS (
+  SELECT {_HOST_SQL} AS host,
+         '<url><loc> ' || {_URL_SQL} || ' </loc></url>' AS entry
+  FROM documents
+),
+x AS (
+  SELECT host,
+         '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+  FROM d GROUP BY host
+)
+SELECT host,
+       CAST(len(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS BIGINT)
+         AS n_locs,
+       unnest(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS url
+FROM x
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER CONTRACT: the driver records correctness for at most the FIRST 50
@@ -2396,6 +2531,9 @@ QUERIES = {
     "seen_shard_keys": (q_seen_shard_keys, SQL_SEEN_SHARD_KEYS),
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ORDER CONTRACT above) — verified by the local sf0.001 gate instead
+    "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
+    "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
+    "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     # rows-only: bloom BIT behavior (false-positive mass per shard) is

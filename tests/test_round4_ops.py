@@ -1,0 +1,116 @@
+"""Round-4 crawl-tier operators: trap detection, adaptive revisit, sitemaps."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontera_spark.core.revisit import change_rate_schedule
+from frontera_spark.core.traps import url_alias_stats, url_template
+from frontera_spark.functions.sitemaps import extract_locs
+
+
+# ------------------------------------------------------------------ traps
+
+
+def test_url_template_folds_digits_and_strips_query(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h3.example.test/d/123?sid=99#frag",),
+            ("https://h3.example.test/d/7",),
+            ("https://h3.example.test/cal/2026/08/18",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(url_template(F.col("url"))).collect()]
+    assert got == [
+        "https://hN.example.test/d/N",
+        "https://hN.example.test/d/N",
+        "https://hN.example.test/cal/N/N/N",
+    ]
+
+
+def test_trap_detector_flags_aliasing_host_only(spark):
+    rows = []
+    # benign: 10 contents, 1 URL each
+    for i in range(10):
+        rows.append(("good.test", i, f"https://good.test/d/{i}"))
+    # trap: 4 contents, 5 URL aliases each (session ids)
+    for i in range(4):
+        for s in range(5):
+            rows.append(("trap.test", i, f"https://trap.test/d/{i}?sid={s}"))
+    df = spark.createDataFrame(rows, "host string, content_key long, url string")
+    got = {r["host"]: r.asDict() for r in url_alias_stats(df).collect()}
+    assert not got["good.test"]["is_trap"]
+    assert got["good.test"]["alias_ratio"] == 1.0
+    assert got["trap.test"]["is_trap"]
+    assert got["trap.test"]["alias_ratio"] == 5.0
+    assert got["trap.test"]["n_templates"] == 1
+    assert got["trap.test"]["template_fanout"] == 20.0
+
+
+# ------------------------------------------------------------------ revisit
+
+
+def test_change_rate_schedule_exact_math(spark):
+    # page 1: changes at t=0s, 10s, 30s -> span 30s, mean gap 15s,
+    # rate = 2 changes / 30 s = 5760/day; next due at 30s + 15s = 45s.
+    # page 2: single observation -> dropped. page 3: two equal ts -> dropped.
+    df = spark.createDataFrame(
+        [
+            (1, "1970-01-01 00:00:00"),
+            (1, "1970-01-01 00:00:10"),
+            (1, "1970-01-01 00:00:30"),
+            (2, "1970-01-01 00:01:00"),
+            (3, "1970-01-01 00:02:00"),
+            (3, "1970-01-01 00:02:00"),
+        ],
+        "page_id long, ts string",
+    ).select("page_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = change_rate_schedule(df).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["page_id"] == 1
+    assert r["n_changes"] == 3
+    assert r["last_us"] == 30_000_000
+    assert r["rate_per_day"] == pytest.approx(5760.0)
+    assert r["next_due_us"] == 45_000_000
+
+
+def test_change_rate_integral_gap_division(spark):
+    # span 7s over 2 gaps -> mean gap 3.5s, integral div -> 3_500_000 us
+    # exactly (no float round-trip): next due = 7s + 3.5s = 10.5s.
+    df = spark.createDataFrame(
+        [(1, 0), (1, 3_000_000), (1, 7_000_000)],
+        "page_id long, us long",
+    ).select(
+        "page_id",
+        F.expr("timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias("ts"),
+    )
+    r = change_rate_schedule(df).collect()[0]
+    assert r["next_due_us"] == 10_500_000
+
+
+# ------------------------------------------------------------------ sitemaps
+
+
+def test_extract_locs_trims_and_counts(spark):
+    xml = (
+        "<urlset><url><loc> https://a.test/1 </loc></url>"
+        "<url><loc>https://a.test/2</loc></url>"
+        "<url><loc>\n  https://a.test/3\n</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("a.test", xml)], "host string, sitemap_xml string")
+    rows = extract_locs(df).collect()
+    assert [r["url"] for r in rows] == [
+        "https://a.test/1",
+        "https://a.test/2",
+        "https://a.test/3",
+    ]
+    assert all(r["n_locs"] == 3 for r in rows)
+    assert rows[0].asDict().keys() == {"host", "n_locs", "url"}
+
+
+def test_extract_locs_empty_sitemap_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("empty.test", "<urlset></urlset>")], "host string, sitemap_xml string"
+    )
+    assert extract_locs(df).count() == 0
