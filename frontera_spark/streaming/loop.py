@@ -168,6 +168,8 @@ class CrawlLoop:
         strategy_obj=None,
         middlewares: list | None = None,
         canonical_solver: str = "basic",
+        use_seen_shards: bool = False,
+        shard_capacity: int = 1 << 20,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -188,6 +190,8 @@ class CrawlLoop:
             max_depth=max_depth,
             canonical_solver=canonical_solver,
             middlewares=middlewares,
+            use_seen_shards=use_seen_shards,
+            shard_capacity=shard_capacity,
         )
         self.corpus = spark.read.parquet(corpus_path)
         self.metrics_dir = os.path.join(workdir, "metrics")
