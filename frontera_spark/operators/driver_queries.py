@@ -2128,21 +2128,7 @@ def q_pagerank_scores(spark, sf_dir):
     rounding barrier per iteration bridges cross-engine float-sum orders."""
     from frontera_spark.operators.pipeline import pagerank
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg(F.max("doc_id")).first()[0] + 1
-    edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.lit(1) + F.col("doc_id") % 3)
-            ).alias("j"),
-        )
-        .select(
-            "src",
-            ((F.col("src") * 31 + F.col("j")) % n).alias("dst"),
-            (F.lit(1) + F.col("src") % 3).alias("outdeg"),
-        )
-    )
+    docs, edges, n = _doc_graph(spark, sf_dir)
     ranks = pagerank(docs.select(F.col("doc_id").alias("id")), edges, n, iterations=3)
     return (
         ranks.select(F.col("id").cast("bigint").alias("doc_id"), "pr")
@@ -2466,6 +2452,95 @@ FROM x
 """
 
 
+# ------------------------------------------- R4: OPIC online page importance
+
+
+def _doc_graph(spark, sf_dir):
+    """The deterministic link graph shared by the iterative scorers: node v
+    has out-degree 1 + v%3, edges v -> (31*v + j) % N."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(1) + F.col("doc_id") % 3)
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % n).alias("dst"),
+            (F.lit(1) + F.col("src") % 3).alias("outdeg"),
+        )
+    )
+    return docs, edges, n
+
+
+def q_opic_scores(spark, sf_dir):
+    """OPIC online importance (operators/pipeline.opic — Abiteboul/Preda/
+    Cobena WWW'03): 3 batch-synchronous cash-distribution rounds over the
+    same deterministic graph as pagerank_scores; importance = (history +
+    cash) / (rounds + 1). Unlike PageRank it needs no convergence phase —
+    the estimate is usable after any prefix of crawl work, which is why it
+    fits an online frontier scorer. Per round: one edge join + one hash agg
+    + a broadcast dangling scalar; HALF_UP-1e-8 barrier on cash AND history
+    bridges cross-engine float-sum orders."""
+    from frontera_spark.operators.pipeline import opic
+
+    docs, edges, n = _doc_graph(spark, sf_dir)
+    out = opic(docs.select(F.col("doc_id").alias("id")), edges, n, iterations=3)
+    return (
+        out.select(F.col("id").cast("bigint").alias("doc_id"), "cash", "hist", "importance")
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(20)
+    )
+
+
+def _opic_sql() -> str:
+    """Oracle mirror of pipeline.opic: identical operation order per round —
+    cash' = round8(incoming + dangling/n), hist' = round8(hist + cash) from
+    the PREVIOUS round's cash."""
+    parts = [
+        "WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents)",
+        """edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 31 + j.j) % (SELECT n FROM nn) AS dst,
+         1 + d.doc_id % 3 AS outdeg
+  FROM documents d JOIN (VALUES (1), (2), (3)) j(j) ON j.j <= 1 + d.doc_id % 3)""",
+        "srcs AS (SELECT DISTINCT src FROM edges)",
+        """s0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist
+       FROM documents)""",
+    ]
+    for t in range(1, 4):
+        prev = f"s{t - 1}"
+        parts.append(
+            f"""c{t} AS (SELECT e.dst AS id, SUM(s.cash / e.outdeg) AS s
+       FROM edges e JOIN {prev} s ON s.id = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""d{t} AS (SELECT COALESCE(SUM(cash), 0.0) AS dm FROM {prev} s
+       WHERE NOT EXISTS (SELECT 1 FROM srcs WHERE srcs.src = s.id))"""
+        )
+        parts.append(
+            f"""s{t} AS (SELECT p.id,
+              FLOOR((COALESCE(c.s, 0.0)
+                     + (SELECT dm FROM d{t}) / (SELECT n FROM nn))
+                    * 1e8 + 0.5) / 1e8 AS cash,
+              FLOOR((p.hist + p.cash) * 1e8 + 0.5) / 1e8 AS hist
+       FROM {prev} p LEFT JOIN c{t} c ON c.id = p.id)"""
+        )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(id AS BIGINT) AS doc_id, cash, hist,
+       FLOOR((cash + hist) / 4.0 * 1e8 + 0.5) / 1e8 AS importance
+FROM s3 ORDER BY importance DESC, doc_id LIMIT 20"""
+    )
+
+
+SQL_OPIC_SCORES = _opic_sql()
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER CONTRACT: the driver records correctness for at most the FIRST 50
@@ -2534,6 +2609,7 @@ QUERIES = {
     "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     # rows-only: bloom BIT behavior (false-positive mass per shard) is

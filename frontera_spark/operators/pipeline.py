@@ -632,6 +632,76 @@ def pagerank(
     return frames if return_all else ranks
 
 
+def opic(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n: int,
+    iterations: int = 3,
+    return_all: bool = False,
+):
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW'03) — the frontier scorer frontera deployments
+    historically paired with a crawl (it needs no convergence phase: the
+    cash/history estimate is usable after ANY prefix of work, unlike
+    PageRank's fixed-point). Batch-synchronous variant: every round each
+    node distributes its cash equally over its out-edges, banks the
+    distributed amount into its history, and collects incoming cash;
+    dangling (out-degree-0) cash redistributes uniformly — the virtual-page
+    trick — so total cash stays 1 every round and sum(history) grows by
+    exactly 1 per round. Importance after T rounds = (history + cash) /
+    (T + 1).
+
+    Scale shape per iteration mirrors ``pagerank``: one shuffle join of
+    state onto edges (src) + one hash aggregate (dst) + a broadcast 1-row
+    dangling scalar — contributions are edge-set-sized. The HALF_UP-1e-8
+    rounding barrier after each iteration (on BOTH cash and history) bridges
+    cross-engine float-sum orders, same protocol as pagerank/trained-IVF.
+
+    ``nodes`` = (id), ``edges`` = (src, dst, outdeg). Returns
+    (id, cash, hist, importance); ``return_all`` returns per-iteration
+    state frames (for the conservation test)."""
+
+    def _r8(c):
+        return F.floor(c * 1e8 + F.lit(0.5)) / 1e8
+
+    state = nodes.select(
+        F.col("id"), F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    srcs = edges.select(F.col("src").alias("_s")).distinct()
+    frames = []
+    for _ in range(iterations):
+        contrib = edges.join(state, edges.src == state.id).select(
+            "dst", (F.col("cash") / F.col("outdeg")).alias("c")
+        )
+        agg = contrib.groupBy(F.col("dst").alias("_d")).agg(F.sum("c").alias("_c1"))
+        dang = (
+            state.join(srcs, state.id == F.col("_s"), "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm"))
+        )
+        state = (
+            state.join(agg, F.col("id") == F.col("_d"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                _r8(
+                    F.coalesce(F.col("_c1"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n))
+                ).alias("cash"),
+                _r8(F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if return_all:
+            frames.append(state)
+    out = state.select(
+        "id",
+        "cash",
+        "hist",
+        _r8((F.col("cash") + F.col("hist")) / F.lit(float(iterations + 1))).alias(
+            "importance"
+        ),
+    )
+    return frames if return_all else out
+
+
 def neardup_dedup(
     docs: DataFrame,
     bands: int = _LSH_BANDS,

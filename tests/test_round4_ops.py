@@ -114,3 +114,32 @@ def test_extract_locs_empty_sitemap_yields_no_rows(spark):
         [("empty.test", "<urlset></urlset>")], "host string, sitemap_xml string"
     )
     assert extract_locs(df).count() == 0
+
+
+# ------------------------------------------------------------------ OPIC
+
+
+def test_opic_conserves_cash_and_banks_history(spark):
+    """Invariants of the batch-synchronous OPIC: total cash stays 1.0 every
+    round (dangling cash redistributes, never evaporates) and sum(history)
+    after round t equals exactly t (each round banks the previous round's
+    total cash); importance therefore sums to 1."""
+    from frontera_spark.operators.pipeline import opic
+
+    # ring + one dangling node: 0->1->2->3->0, node 4 dangling (out-deg 0)
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1)], "src long, dst long, outdeg int"
+    )
+    frames = opic(nodes, edges, n=5, iterations=3, return_all=True)
+    for t, fr in enumerate(frames, start=1):
+        cash_sum, hist_sum = fr.agg(F.sum("cash"), F.sum("hist")).first()
+        assert cash_sum == pytest.approx(1.0, abs=1e-6), f"cash leaked at round {t}"
+        assert hist_sum == pytest.approx(float(t), abs=1e-6), f"history wrong at round {t}"
+
+    out = opic(nodes, edges, n=5, iterations=3)
+    assert out.agg(F.sum("importance")).first()[0] == pytest.approx(1.0, abs=1e-6)
+    # the dangling node receives only redistributed cash and never banks
+    # incoming edges -> strictly the lowest importance
+    imp = {r["id"]: r["importance"] for r in out.collect()}
+    assert imp[4] == min(imp.values())
