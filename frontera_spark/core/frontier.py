@@ -538,6 +538,37 @@ class FrontierEngine:
             cand = cand.join(F.broadcast(mk), ["fingerprint", "partition_id"], "left_anti")
         return cand
 
+    def detect_trap_hosts(self, fanout_threshold: float = 50.0) -> dict[str, float]:
+        """Hosts whose QUEUED frontier looks like a crawler trap (core/traps.py
+        template fan-out: distinct URLs per digit-folded, query-stripped URL
+        template). A calendar/session-id trap floods one template with
+        unbounded URLs; a benign host's queue spreads over many templates.
+
+        One hash aggregation over the queued scan (state pushdown intact);
+        returns a driver dict {host: fanout} for hosts ≥ the threshold —
+        bounded by the host count, the same cardinality class as the
+        politeness DomainMetadata. Feed it to ``get_next_requests(host_caps=
+        {host: small_cap})`` to budget-cap suspects instead of banning them
+        (IRLbot-style budget enforcement: a capped trap still drains slowly,
+        a false positive is throttled, not lost)."""
+        from frontera_spark.core.traps import url_template
+
+        url = F.coalesce("url", "canonical_url")
+        stats = (
+            self._queued_scan(None)
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n_urls"),
+                F.countDistinct(url_template(url)).alias("n_templates"),
+            )
+            .filter(
+                F.col("n_urls").cast("double") / F.col("n_templates")
+                >= F.lit(fanout_threshold)
+            )
+            .select("host", (F.col("n_urls").cast("double") / F.col("n_templates")).alias("fanout"))
+        )
+        return {r["host"]: float(r["fanout"]) for r in stats.collect()}
+
     # ---------------------------------------------------------------- popping
 
     def get_next_requests(
@@ -549,6 +580,7 @@ class FrontierEngine:
         min_requests: int | None = None,
         min_hosts: int | None = None,
         max_pending: int | None = None,
+        host_caps: dict[str, int] | None = None,
     ) -> DataFrame:
         """Destructive top-k pop (T1): returns the feed batch and marks rows.
 
@@ -596,24 +628,40 @@ class FrontierEngine:
             if over:
                 cand = cand.filter(~F.col("partition_id").isin(over))
         order = self.strategy.ordering(iteration)
-        if max_per_host is not None:
+        if max_per_host is not None or host_caps:
+            # effective per-host cap: min(max_per_host, host_caps[host]) —
+            # ``host_caps`` is the trap-guard override (detect_trap_hosts),
+            # a bounded driver-side map broadcast as a literal expression;
+            # hosts in neither stay uncapped (NULL cap passes the filter).
+            # least() skips NULLs, so each side is optional independently.
+            caps = []
+            if host_caps:
+                cap_map = F.create_map(
+                    *[F.lit(x) for kv in sorted(host_caps.items()) for x in kv]
+                )
+                caps.append(cap_map[F.col("host")])
+            if max_per_host is not None:
+                caps.append(F.lit(max_per_host))
+            eff = F.least(*caps) if len(caps) > 1 else caps[0]
             # hot-host skew (SURVEY.md Q7): a single per-host window would
             # funnel a hot host's whole queue through one task. Two-phase
             # salted top-k instead: rank within (host, salt) first — the
             # global per-host top-k is a subset of the union of per-salt
             # top-k's — so the final per-host window sees at most
-            # host_salts × max_per_host rows per host, whatever the skew.
+            # host_salts × cap rows per host, whatever the skew. The cap
+            # expression is constant within a host, so the per-row compare
+            # against the window rank is exact.
             salt = F.pmod(F.col("fingerprint"), F.lit(self.host_salts))
             w1 = Window.partitionBy("host", salt).orderBy(*order)
             cand = (
                 cand.withColumn("_rs", F.row_number().over(w1))
-                .filter(F.col("_rs") <= max_per_host)
+                .filter(eff.isNull() | (F.col("_rs") <= eff))
                 .drop("_rs")
             )
             wh = Window.partitionBy("host").orderBy(*order)
             cand = (
                 cand.withColumn("_rh", F.row_number().over(wh))
-                .filter(F.col("_rh") <= max_per_host)
+                .filter(eff.isNull() | (F.col("_rh") <= eff))
                 .drop("_rh")
             )
         if mode == "global":

@@ -2541,6 +2541,45 @@ FROM s3 ORDER BY importance DESC, doc_id LIMIT 20"""
 SQL_OPIC_SCORES = _opic_sql()
 
 
+# ------------------------------------------------- R4: hot-host salting plan
+
+
+def q_salting_plan(spark, sf_dir):
+    """Skew-defusing salt plan (north rule: "salted repartitioning to defuse
+    hot-host skew"): over a frontier with one planted hot host (30% of URLs,
+    the corpus fixture's share), compute per host the salt count a
+    co-partitioned layout needs so no (host, salt) cell exceeds the target
+    cell size — n_salts = ceil(n_urls / 64). The engine's pop applies the
+    same idea dynamically (two-phase salted top-k, fingerprint pmod salts);
+    this is the static-layout planning half. One hash aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example.test")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 31).cast("string"), F.lit(".example.test"))
+    )
+    return (
+        docs.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            "host",
+            "n_urls",
+            F.ceil(F.col("n_urls") / F.lit(64.0)).alias("n_salts"),
+        )
+    )
+
+
+SQL_SALTING_PLAN = """
+WITH u AS (
+  SELECT CASE WHEN doc_id % 10 < 3 THEN 'hot.example.test'
+              ELSE 'h' || CAST(doc_id % 31 AS VARCHAR) || '.example.test' END AS host
+  FROM documents
+)
+SELECT host, COUNT(*) AS n_urls,
+       CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS n_salts
+FROM u GROUP BY host
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER CONTRACT: the driver records correctness for at most the FIRST 50
@@ -2610,6 +2649,7 @@ QUERIES = {
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
+    "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     # rows-only: bloom BIT behavior (false-positive mass per shard) is

@@ -170,6 +170,7 @@ class CrawlLoop:
         canonical_solver: str = "basic",
         use_seen_shards: bool = False,
         shard_capacity: int = 1 << 20,
+        trap_guard: dict | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -181,6 +182,13 @@ class CrawlLoop:
         self.min_requests = min_requests
         self.min_hosts = min_hosts
         self.max_pending = max_pending
+        # trap budget guard (engine.detect_trap_hosts → per-host pop caps):
+        # {"every": k iterations between re-detections, "fanout_threshold":
+        # templates-fanout trigger, "cap": per-pop budget for suspects}.
+        # Applies to the plain pop path; the politeness scheduler already
+        # bounds per-host rates by budget, so the guard is not forwarded.
+        self.trap_guard = trap_guard
+        self._trap_caps: dict[str, int] = {}
         self.engine = FrontierEngine(
             spark,
             workdir,
@@ -250,6 +258,12 @@ class CrawlLoop:
                 self.batch_size, max_per_host=self.max_per_host, mode=self.mode
             )
         else:
+            if self.trap_guard and self.engine.iteration % self.trap_guard.get("every", 5) == 0:
+                hot = self.engine.detect_trap_hosts(
+                    fanout_threshold=self.trap_guard.get("fanout_threshold", 50.0)
+                )
+                cap = int(self.trap_guard.get("cap", 8))
+                self._trap_caps = {h: cap for h in hot}
             feed = self.engine.get_next_requests(
                 self.batch_size,
                 max_per_host=self.max_per_host,
@@ -257,6 +271,7 @@ class CrawlLoop:
                 min_requests=self.min_requests,
                 min_hosts=self.min_hosts,
                 max_pending=self.max_pending,
+                host_caps=self._trap_caps or None,
             )
         iteration = self.engine.iteration
         # the pop already counted its batch per partition (its grouped

@@ -143,3 +143,75 @@ def test_opic_conserves_cash_and_banks_history(spark):
     # incoming edges -> strictly the lowest importance
     imp = {r["id"]: r["importance"] for r in out.collect()}
     assert imp[4] == min(imp.values())
+
+
+# --------------------------------------------------------- trap budget guard
+
+
+def test_engine_trap_detection_and_pop_caps(spark, tmp_path):
+    from frontera_spark.core.frontier import FrontierEngine
+
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+    rows = [(f"https://trap.test/d/{i}", i) for i in range(40)]  # ONE template
+    rows += [(f"https://good.test/{chr(97 + i)}/x", 100 + i) for i in range(10)]
+    eng.add_seeds(spark.createDataFrame(rows, "url string, seq int"))
+
+    hot = eng.detect_trap_hosts(fanout_threshold=10.0)
+    assert set(hot) == {"trap.test"}
+    assert hot["trap.test"] == 40.0
+
+    batch = eng.get_next_requests(100, mode="global", host_caps={"trap.test": 5})
+    by_host = {
+        r["host"]: r["n"]
+        for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    batch.unpersist()
+    # the trap host is budget-capped; the uncapped host drains fully
+    assert by_host == {"trap.test": 5, "good.test": 10}
+
+
+def test_engine_host_caps_combine_with_max_per_host(spark, tmp_path):
+    from frontera_spark.core.frontier import FrontierEngine
+
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+    rows = [(f"https://a.test/d/{i}", i) for i in range(20)]
+    rows += [(f"https://b.test/d/{i}", 100 + i) for i in range(20)]
+    eng.add_seeds(spark.createDataFrame(rows, "url string, seq int"))
+    batch = eng.get_next_requests(
+        100, mode="global", max_per_host=8, host_caps={"a.test": 3}
+    )
+    by_host = {
+        r["host"]: r["n"]
+        for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    batch.unpersist()
+    # a.test takes min(8, 3), b.test the plain max_per_host
+    assert by_host == {"a.test": 3, "b.test": 8}
+
+
+def test_crawl_loop_trap_guard_completes(spark, tmp_path):
+    """Guarded loop still crawls the whole corpus: the trap cap throttles the
+    hot host per pop (the synthetic corpus folds each host's URLs onto one
+    /i/imgN template, so a low threshold flags the 30%-share hot host) but
+    never drops work — completion, not ordering, is the contract with the
+    guard on."""
+    from frontera_spark.sources.corpus import url_of, write_corpus
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_path, 40, 7, 42)
+    loop = CrawlLoop(
+        spark,
+        str(tmp_path / "eng"),
+        corpus_path,
+        corpus_seed=42,
+        strategy="bfs",
+        batch_size=16,
+        n_partitions=1,
+        mode="global",
+        trap_guard={"every": 1, "fanout_threshold": 8.0, "cap": 4},
+    )
+    loop.add_seeds([url_of(0, 7)])
+    hist = loop.run()
+    assert sum(m["n_fetched"] for m in hist) == 40
+    assert sum(m["invariant_violations"] for m in hist) == 0
