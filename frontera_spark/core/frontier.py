@@ -486,6 +486,18 @@ class FrontierEngine:
             df = seeds
         return self._finalize(self._prepare(df))
 
+    def add_seeds_sitemaps(self, sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> int:
+        """S1 seed loader, sitemap edition: df(sitemap_xml [, ...]) → extract
+        every ``<loc>`` URL (functions/sitemaps.py — regexp + explode, pure
+        codegen, no XML lib) and schedule the set through the normal seed
+        path (canonicalize → fingerprint → seen anti-join → MERGE). Sitemap
+        INDEX files (<sitemap><loc> entries pointing at more sitemaps) are
+        the same projection one level up — feed the extracted URLs back
+        through the crawl loop like any other link-following step."""
+        from frontera_spark.functions.sitemaps import extract_locs
+
+        return self.add_seeds(extract_locs(sitemaps, xml_col).select("url"))
+
     def add_seeds_file(self, path: str) -> int:
         """Bulk seed load; line order = discovery order. The order key is
         ``monotonically_increasing_id()`` used AS a key (split index in the

@@ -215,3 +215,20 @@ def test_crawl_loop_trap_guard_completes(spark, tmp_path):
     hist = loop.run()
     assert sum(m["n_fetched"] for m in hist) == 40
     assert sum(m["invariant_violations"] for m in hist) == 0
+
+
+def test_add_seeds_sitemaps_schedules_and_dedups(spark, tmp_path):
+    from frontera_spark.core.frontier import FrontierEngine
+
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="fifo")
+    xml1 = (
+        "<urlset><url><loc>https://a.test/1</loc></url>"
+        "<url><loc> https://a.test/2 </loc></url></urlset>"
+    )
+    xml2 = "<urlset><url><loc>https://b.test/1</loc></url></urlset>"
+    sm = spark.createDataFrame([(xml1,), (xml2,)], "sitemap_xml string")
+    assert eng.add_seeds_sitemaps(sm) == 3
+    # re-offering the same sitemaps is a no-op (seen-set dedup)
+    assert eng.add_seeds_sitemaps(sm) == 0
+    urls = {r["canonical_url"] for r in eng.table.read().collect()}
+    assert urls == {"https://a.test/1", "https://a.test/2", "https://b.test/1"}
