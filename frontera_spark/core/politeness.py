@@ -351,11 +351,25 @@ class PoliteScheduler:
             .select("fingerprint", "partition_id", "batch_id", "state")
             .unionByName(robots)
         ).cache()
-        touched = (
-            marks.groupBy("partition_id", F.col("batch_id").isNotNull().alias("_served"))
+        # ONE grouped collect covers mark partitions AND domain-write
+        # emptiness: domain rows ride along as partition_id=NULL markers, so
+        # the write-back below never pays its own isEmpty action per pop
+        touched_all = (
+            marks.select(
+                "partition_id", F.col("batch_id").isNotNull().alias("_served")
+            )
+            .unionByName(
+                decisions.filter(F.col("_emit") == "domain").select(
+                    F.lit(None).cast("int").alias("partition_id"),
+                    F.lit(None).cast("boolean").alias("_served"),
+                )
+            )
+            .groupBy("partition_id", "_served")
             .count()
             .collect()
         )
+        touched = [r for r in touched_all if r["_served"] is not None]
+        n_dom = sum(int(r["count"]) for r in touched_all if r["_served"] is None)
         # the feed is exactly the served mark rows — expose its per-partition
         # counts so the loop never re-counts the batch (frontier contract)
         engine.last_pop_pid_counts = {
@@ -409,10 +423,10 @@ class PoliteScheduler:
             F.col("_last_refill").alias("last_refill"),
             F.col("_fetched_after").alias("fetched"),
         )
-        dom_full = dom.join(
-            domains.read().drop("tokens", "last_refill", "fetched"), "host", "inner"
-        ).select(*[c.split()[0] for c in DOMAIN_SCHEMA.split(", ")])
-        if not dom.isEmpty():
+        if n_dom:  # emptiness came from the touched collect — no extra action
+            dom_full = dom.join(
+                domains.read().drop("tokens", "last_refill", "fetched"), "host", "inner"
+            ).select(*[c.split()[0] for c in DOMAIN_SCHEMA.split(", ")])
             domains.table.upsert(dom_full, set_cols=["tokens", "last_refill", "fetched"])
 
         feed = (

@@ -32,8 +32,17 @@ _US_PER_DAY = 86_400_000_000
 
 
 def _epoch_us(col: str = "ts"):
-    """Integer microseconds since the NTZ epoch (timezone-independent)."""
-    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+    """Integer microseconds since the NTZ epoch (timezone-independent).
+
+    The input is cast to TIMESTAMP_NTZ *inside* the diff: a plain TIMESTAMP
+    (LTZ) operand would coerce the NTZ epoch literal through the session
+    timezone, shifting the result by the tz offset relative to DuckDB's
+    ``epoch_us`` under any non-UTC session — the NTZ cast pins the math to
+    the wall clock regardless of ``spark.sql.session.timeZone``."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({col} AS TIMESTAMP_NTZ))"
+    )
 
 
 def change_rate_schedule(

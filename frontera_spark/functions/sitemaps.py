@@ -13,6 +13,14 @@ shuffle, no Python; a million sitemap docs fan out to their URL sets
 entirely inside whole-stage codegen. Nested sitemap *indexes* (<sitemap>
 entries pointing at more sitemaps) are one extra iteration of the same
 projection, driven by the crawl loop like any other link-following step.
+
+Extracted URLs are XML-entity-decoded (the five predefined entities —
+sitemaps.org REQUIRES '&' in query strings be escaped as '&amp;', so a raw
+regexp body would schedule literal '&amp;' URLs). Known limitation, by
+design: ``<loc><![CDATA[...]]></loc>`` bodies are DROPPED (the first-char
+class excludes '<') — CDATA is absent from the sitemaps.org examples and
+from Scrapy's SitemapSpider regex fallback alike; a corpus that needs it
+should pre-strip CDATA markers before ingest.
 """
 
 from __future__ import annotations
@@ -22,10 +30,21 @@ from pyspark.sql import functions as F
 
 _LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
 
+# decode order matters only for '&amp;': it must run LAST so '&amp;lt;'
+# decodes to the literal text '&lt;' (single-pass XML semantics), not '<'
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+
+
+def _unescape(url: Column) -> Column:
+    for ent, ch in _ENTITIES:
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    return url
+
 
 def loc_urls(xml: Column) -> Column:
-    """Array of ``<loc>`` URL bodies in document order (whitespace-trimmed)."""
-    return F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1))
+    """Array of ``<loc>`` URL bodies in document order (whitespace-trimmed,
+    XML-entity-decoded)."""
+    return F.transform(F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1)), _unescape)
 
 
 def extract_locs(docs: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:

@@ -2414,12 +2414,16 @@ FROM a WHERE n_changes >= 2 AND last_us > first_us
 def q_sitemap_extract(spark, sf_dir):
     """Sitemap round-trip (functions/sitemaps.py): build one sitemaps.org XML
     document per host from its corpus URLs (deterministic sorted body, with
-    whitespace padding inside <loc> to exercise the trim), then extract and
+    whitespace padding inside <loc> to exercise the trim, and an
+    entity-escaped query string — sitemaps.org requires '&' be written
+    '&amp;' — to exercise the XML-entity decode), then extract and
     explode the <loc> set — the distributed seed-ingest path a real crawl
     bootstraps from. Extraction is regexp + explode, pure codegen."""
     from frontera_spark.functions.sitemaps import extract_locs
 
-    entry = F.concat(F.lit("<url><loc> "), _url(), F.lit(" </loc></url>"))
+    entry = F.concat(
+        F.lit("<url><loc> "), _url(), F.lit("?a=1&amp;b=2"), F.lit(" </loc></url>")
+    )
     xml = (
         _t(spark, sf_dir, "documents")
         .select(_host().alias("host"), entry.alias("entry"))
@@ -2436,19 +2440,25 @@ def q_sitemap_extract(spark, sf_dir):
 SQL_SITEMAP_EXTRACT = rf"""
 WITH d AS (
   SELECT {_HOST_SQL} AS host,
-         '<url><loc> ' || {_URL_SQL} || ' </loc></url>' AS entry
+         '<url><loc> ' || {_URL_SQL} || '?a=1&amp;b=2' || ' </loc></url>' AS entry
   FROM documents
 ),
 x AS (
   SELECT host,
          '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
   FROM d GROUP BY host
+),
+raw AS (
+  SELECT host,
+         CAST(len(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS BIGINT)
+           AS n_locs,
+         unnest(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS url
+  FROM x
 )
-SELECT host,
-       CAST(len(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS BIGINT)
-         AS n_locs,
-       unnest(regexp_extract_all(xml, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS url
-FROM x
+SELECT host, n_locs,
+       replace(replace(replace(replace(replace(url,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url
+FROM raw
 """
 
 

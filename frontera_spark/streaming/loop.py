@@ -187,6 +187,12 @@ class CrawlLoop:
         # templates-fanout trigger, "cap": per-pop budget for suspects}.
         # Applies to the plain pop path; the politeness scheduler already
         # bounds per-host rates by budget, so the guard is not forwarded.
+        # 'every' is clamped to >= 1 at construction: 0 would divide-by-zero
+        # the iteration modulus and a negative value would silently disable
+        # detection.
+        if trap_guard is not None:
+            trap_guard = dict(trap_guard)
+            trap_guard["every"] = max(1, int(trap_guard.get("every", 5)))
         self.trap_guard = trap_guard
         self._trap_caps: dict[str, int] = {}
         self.engine = FrontierEngine(
