@@ -2594,13 +2594,21 @@ FROM u GROUP BY host
 #
 # ORDER CONTRACT: the driver records correctness for at most the FIRST 50
 # entries (observed: CORRECTNESS_r03 capped at 50 of 51 registered). Keep
-# every oracle-paired entry inside the first 50; entries past the cap are
-# still exercised by the local gate (tests/test_driver_oracle.py runs ALL
-# entries at sf0.001) and by bench.py — today that tail is the two TPC-H
-# demo queries (oracle-paired, locally gated) and the rows-only
-# bloom bit-stats (not SQL-expressible by design; its SQL-expressible half
-# is seen_shard_keys, inside the cap). Inserting a new oracle-paired entry?
-# Put it BEFORE the tail block below.
+# every entry that has NOT yet appeared green in a CORRECTNESS_r*.json
+# inside the first 50; entries past the cap are still exercised by the local
+# gate (tests/test_driver_oracle.py runs ALL entries at sf0.001) and by
+# bench.py.
+#
+# ROTATION (round 5, VERDICT r4 next-round #1): the eight entries that sat
+# past the cap in r4 — trap_detection, revisit_schedule, sitemap_extract,
+# opic_scores, salting_plan, top_revenue_orders, pricing_summary (oracle-
+# paired) and bloom_shard_stats (rows-only by design: bloom BIT behavior is
+# engine state, not SQL; its SQL-expressible half is seen_shard_keys) — move
+# INTO the cap, displacing eight long-stable projections that are driver-
+# green in ALL of r1–r4 (tokenset/minhash/simhash signatures, token_stats,
+# quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). After
+# this round every registry entry has at least one green driver row on
+# record; the per-round map lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -2616,15 +2624,15 @@ QUERIES = {
     "states_lookup": (q_states_lookup, SQL_STATES_LOOKUP),
     "feed_corpus_join": (q_feed_corpus_join, SQL_FEED_CORPUS_JOIN),
     "revisit_due": (q_revisit_due, SQL_REVISIT_DUE),
-    "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),
-    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
+    "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
+    "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
+    "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
-    "knn_join": (q_knn_join, SQL_KNN_JOIN),
-    "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "bloom_shard_stats": (q_bloom_shard_stats, None),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
@@ -2654,15 +2662,14 @@ QUERIES = {
     "snapshot_lineage": (q_snapshot_lineage, SQL_SNAPSHOT_LINEAGE),
     "seen_shard_keys": (q_seen_shard_keys, SQL_SEEN_SHARD_KEYS),
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
-    # ORDER CONTRACT above) — verified by the local sf0.001 gate instead
-    "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
-    "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
-    "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
-    "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
-    "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    # rows-only: bloom BIT behavior (false-positive mass per shard) is
-    # engine state, not SQL; the key-count half is seen_shard_keys above
-    "bloom_shard_stats": (q_bloom_shard_stats, None),
+    # ROTATION note above) — every one is driver-green in r1–r4 and stays
+    # verified by the local sf0.001 gate + bench.py each round
+    "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID_HEURISTIC),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
 }
