@@ -205,6 +205,10 @@ class FrontierEngine:
         )
         if self.max_depth is not None:
             df = df.filter(F.col("depth") <= self.max_depth)
+        if self.strategy.accumulates_cash and "_cash" not in df.columns:
+            # OPIC: batches that don't price their links (seed loads, direct
+            # links_extracted calls) enter with unit cash per row
+            df = df.withColumn("_cash", F.lit(1.0))
         # strategy link predicate (P6, frontera filter_extracted_links):
         # runs after canonicalization so it can see url/canonical_url/host/depth
         df = self.strategy.filter_links(df)
@@ -308,6 +312,54 @@ class FrontierEngine:
         else:
             fresh = candidates.join(seen_scan, "fingerprint", "left_anti")
 
+        # OPIC cash ledger (OpicStrategy): cash addressed to ALREADY-KNOWN
+        # pages must still accrue — the anti-join above drops those rows, so
+        # mirror it with a semi-join (bloom-pruned to the "maybe" minority
+        # when shards are on) and fold their cash into narrow per-key score
+        # deltas. They ride the same MERGE commit below with add-semantics
+        # (t.score + s.score), so a duplicate-heavy steady-state re-offer
+        # pays one extra batch-sized join, never a second commit.
+        cash_upd = None
+        if self.strategy.accumulates_cash and "_cash" in candidates.columns:
+            if self.seen is not None:
+                known_src = candidates.filter(F.col("_maybe")).drop("_maybe")
+            else:
+                known_src = candidates
+            cash_upd = (
+                known_src.join(seen_scan, "fingerprint", "left_semi")
+                .groupBy("fingerprint", "partition_id")
+                .agg(F.sum("_cash").alias("score"))
+            )
+
+        def _combined_updates():
+            """One update row per key: state transitions (set-if-not-null)
+            and cash accruals (add-if-not-null) folded together so the
+            decomposed merge's left join never fans out a target row."""
+            upd = cash_upd.withColumn("state", F.lit(None).cast("int"))
+            if extra_updates is not None:
+                upd = upd.unionByName(
+                    extra_updates.select("fingerprint", "partition_id", "state")
+                    .withColumn("score", F.lit(None).cast("double"))
+                )
+            return upd.groupBy("fingerprint", "partition_id").agg(
+                F.max("state").alias("state"), F.sum("score").alias("score")
+            )
+
+        def _apply_updates_only():
+            """Exit-path commit when no inserts survived (all-duplicate
+            re-offers): state transitions and any cash accruals still land."""
+            if cash_upd is None:
+                if extra_updates is not None and upd_pids:
+                    self._mark(extra_updates, pids=upd_pids)
+                return
+            self.table.upsert(
+                _combined_updates(),
+                set_cols=["state"],
+                add_cols=["score"],
+                insert=False,
+                affected_pids=sorted({*pids, *upd_pids}),
+            )
+
         # in-batch dedup: keep the earliest discovery (order = (_o1,_o2)).
         # Hash-aggregate min_by instead of a per-key window: same semantics
         # (struct comparison is lexicographic) with no sort. Runs AFTER the
@@ -315,10 +367,25 @@ class FrontierEngine:
         # nothing, and when the anti-join dominated the input the groupBy
         # reuses its fingerprint exchange.
         others = [c for c in fresh.columns if c != "fingerprint"]
-        agg = fresh.groupBy("fingerprint").agg(
-            F.min_by(F.struct(*others), F.struct("_o1", "_o2")).alias("_r")
-        )
-        fresh = agg.select("fingerprint", *[F.col(f"_r.{c}").alias(c) for c in others])
+        if cash_upd is not None:
+            # OPIC: in-batch duplicates keep the earliest discovery row but
+            # their cash SUMS (two parents funding the same fresh child)
+            agg = fresh.groupBy("fingerprint").agg(
+                F.min_by(F.struct(*others), F.struct("_o1", "_o2")).alias("_r"),
+                F.sum("_cash").alias("_cs"),
+            )
+            fresh = agg.select(
+                "fingerprint",
+                *[F.col(f"_r.{c}").alias(c) for c in others if c != "_cash"],
+                F.col("_cs").alias("_cash"),
+            )
+        else:
+            agg = fresh.groupBy("fingerprint").agg(
+                F.min_by(F.struct(*others), F.struct("_o1", "_o2")).alias("_r")
+            )
+            fresh = agg.select(
+                "fingerprint", *[F.col(f"_r.{c}").alias(c) for c in others]
+            )
 
         state = (
             F.when(F.col("host").isin(list(self.robots_deny_hosts)), F.lit(STATE_SKIPPED_ROBOTS))
@@ -373,9 +440,8 @@ class FrontierEngine:
                 # nothing survived the seen filter (robots rows would be in
                 # fresh, so there are none either): nothing to insert
                 fresh_cache.unpersist()
+                _apply_updates_only()
                 candidates.unpersist()
-                if extra_updates is not None and upd_pids:
-                    self._mark(extra_updates, pids=upd_pids)
                 _upd_done()
                 return 0
             small = n_fresh <= self.BULK_SORT_ROWS
@@ -428,16 +494,15 @@ class FrontierEngine:
             # state updates still need their (mark-shaped) commit
             ranged.unpersist()
             fresh_cache.unpersist()
+            _apply_updates_only()
             candidates.unpersist()
-            if extra_updates is not None and upd_pids:
-                self._mark(extra_updates, pids=upd_pids)
             _upd_done()
             return 0
         gen = self.seen_gen + 1
         meta = {"next_seq": next_seq + n_queued, "seen_gen": gen}
-        if extra_updates is not None:
+        if extra_updates is not None or cash_upd is not None:
             # narrow update rows padded with nulls: the merge's matched
-            # branch reads only key + set_cols from the source, and only
+            # branch reads only key + set/add cols from the source, and only
             # update rows can match (fresh rows are post-anti-join). The
             # _upd_only flag fences the insert branch: an update whose key is
             # NOT in the table (foreign/malformed bus message, replay across
@@ -445,14 +510,20 @@ class FrontierEngine:
             # same no-op semantics as record_results/_mark (insert=False).
             # ``pids`` (all candidate partitions) over-approximates the
             # touched set — safe: upsert rewrites-and-relinks either way.
+            if cash_upd is not None:
+                upd = _combined_updates()
+                add = ["score"]
+            else:
+                upd = extra_updates.select("fingerprint", "partition_id", "state")
+                add = None
             rows = rows.withColumn("_upd_only", F.lit(False)).unionByName(
-                extra_updates.select("fingerprint", "partition_id", "state")
-                .withColumn("_upd_only", F.lit(True)),
+                upd.withColumn("_upd_only", F.lit(True)),
                 allowMissingColumns=True,
             )
             self.table.upsert(
                 rows,
                 set_cols=["state"],
+                add_cols=add,
                 meta=meta,
                 affected_pids=sorted({*pids, *upd_pids}),
                 no_insert_col="_upd_only",
@@ -498,6 +569,31 @@ class FrontierEngine:
 
         return self.add_seeds(extract_locs(sitemaps, xml_col).select("url"))
 
+    def add_seeds_sitemap_index(
+        self,
+        indexes: DataFrame,
+        documents: DataFrame,
+        xml_col: str = "sitemap_xml",
+        url_col: str = "url",
+    ) -> int:
+        """S1 seed loader, sitemap-INDEX edition: resolve one level of
+        sitemaps.org index files (``<sitemap><loc>`` entries pointing at
+        child sitemaps) against a fetched sitemap-document table
+        ``documents(url_col, xml_col)``, then schedule every child's
+        ``<loc>`` URL set through the normal seed path. Children the
+        document table doesn't hold are skipped (their fetch failed);
+        deeper nesting is the same call again on the resolved frame.
+
+        Discovery order is deterministic: (child position in the index,
+        loc position within the child) — so seqs are reproducible like
+        every other seed path (resolution + scale notes:
+        ``functions.sitemaps.resolve_index``).
+        """
+        from frontera_spark.functions.sitemaps import resolve_index
+
+        seeds = resolve_index(indexes, documents, xml_col=xml_col, url_col=url_col)
+        return self._finalize(self._prepare(seeds))
+
     def add_seeds_file(self, path: str) -> int:
         """Bulk seed load; line order = discovery order. The order key is
         ``monotonically_increasing_id()`` used AS a key (split index in the
@@ -520,7 +616,8 @@ class FrontierEngine:
         single-consumer reference ingests links (tests/backends.py model).
         """
         df = links.withColumn("_o1", F.col("parent_seq")).withColumn("_o2", F.col("link_pos"))
-        return self._finalize(self._prepare(df.select("url", "depth", "_o1", "_o2")))
+        sel = ["url", "depth", "_o1", "_o2"] + (["_cash"] if "_cash" in df.columns else [])
+        return self._finalize(self._prepare(df.select(*sel)))
 
     def _queued_scan(self, iteration: int | None) -> DataFrame:
         """Poppable candidates with parquet pushdown INTACT under live marks.
@@ -865,8 +962,9 @@ class FrontierEngine:
         df = links.withColumn("_o1", F.col("parent_seq")).withColumn(
             "_o2", F.col("link_pos")
         )
+        sel = ["url", "depth", "_o1", "_o2"] + (["_cash"] if "_cash" in df.columns else [])
         return self._finalize(
-            self._prepare(df.select("url", "depth", "_o1", "_o2")),
+            self._prepare(df.select(*sel)),
             extra_updates=upd,
             update_pids=update_pids,
         )
@@ -898,6 +996,84 @@ class FrontierEngine:
         )
         n = int(sum(r["count"] for r in pid_counts))
         src.unpersist()
+        return n
+
+    def revisit_adaptive(self, observations: DataFrame, ts_col: str = "ts") -> int:
+        """X6, adaptive edition: re-queue each CRAWLED page at its
+        Cho–Garcia-Molina estimated next change time instead of a fixed
+        interval (``revisit``'s REVISIT_INTERVAL semantics; frontera analog
+        frontera/contrib/backends/sqlalchemy/revisiting.py:~1-100).
+
+        ``observations`` — one row per OBSERVED content change:
+        (fingerprint long, partition_id int, ``ts_col`` timestamp), with
+        timestamps on the engine's deterministic crawl clock
+        (``timestamp_seconds(iteration)``; the crawl loop's change log is
+        exactly this shape). Pages with ≥ 2 observed changes get
+        ``crawl_at = next_due_us`` from ``core.revisit.change_rate_schedule``
+        — one mean change interval after their last observed change — so
+        fast-moving pages re-enter the frontier often and static pages never
+        do. Only currently-CRAWLED rows are touched (QUEUED rows keep the
+        estimate they were re-queued under; a due-but-unpopped page is not
+        rescheduled out from under the pop).
+
+        Scale shape: one hash agg over the change log (the estimator), a
+        partition-pruned semi-join against the frontier's CRAWLED keys, and
+        a narrow per-key MERGE — O(observed changers), never O(table).
+        """
+        from frontera_spark.core.revisit import change_rate_schedule
+
+        sched = change_rate_schedule(observations, page_col="fingerprint", ts_col=ts_col)
+        keys = observations.select("fingerprint", "partition_id").distinct()
+        return self.requeue_due(
+            sched.join(keys, "fingerprint").select(
+                "fingerprint",
+                "partition_id",
+                F.timestamp_micros(F.col("next_due_us")).alias("crawl_at"),
+            )
+        )
+
+    def requeue_due(self, due: DataFrame) -> int:
+        """Re-queue currently-CRAWLED rows at PER-ROW due times:
+        df(fingerprint, partition_id, crawl_at). The generic primitive under
+        every revisit policy — ``revisit_adaptive`` feeds it the estimator's
+        schedule, the crawl loop's backoff path feeds it doubled intervals
+        for unchanged pages. Rows whose page is not currently CRAWLED are
+        dropped (QUEUED pages keep the due time they were re-queued under).
+        O(due set): partition-pruned semi-join + narrow MERGE, never
+        O(table)."""
+        src = (
+            due.select(
+                "fingerprint",
+                "partition_id",
+                F.lit(STATE_QUEUED).alias("state"),
+                F.lit(None).cast("long").alias("batch_id"),
+                F.col("crawl_at"),
+            )
+            .cache()
+        )
+        pids = [r["partition_id"] for r in src.select("partition_id").distinct().collect()]
+        if not pids:
+            src.unpersist()
+            return 0
+        crawled = (
+            self.table.read(with_marks=False)
+            .filter((F.col("state") == STATE_CRAWLED) & F.col("partition_id").isin(pids))
+            .select("fingerprint")
+        )
+        due = src.join(crawled, "fingerprint", "left_semi").cache()
+        pid_counts = due.groupBy("partition_id").count().collect()
+        src.unpersist()
+        if not pid_counts:
+            due.unpersist()
+            return 0
+        self.table.upsert(
+            due,
+            set_cols=["state", "batch_id", "crawl_at"],
+            insert=False,
+            affected_pids=[r["partition_id"] for r in pid_counts],
+        )
+        n = int(sum(r["count"] for r in pid_counts))
+        due.unpersist()
         return n
 
     def _mark(self, src: DataFrame, pids: list[int] | None = None) -> None:

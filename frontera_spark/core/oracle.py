@@ -13,6 +13,11 @@ memory/__init__.py:~40-120 + utils/heap.py):
     LIFO  : seq desc
     BFS   : (depth asc, seq asc)
     DFS   : (depth desc, seq asc)
+    OPIC  : (cash desc, seq asc) — greedy highest-cash-first with additive
+            cash accrual (Abiteboul et al., WWW'03; frontera's
+            ``schedule(request, score)`` online-prioritizer surface). Cash
+            updates re-push a fresh heap entry; stale entries (key no longer
+            matching the page's current cash) are skipped lazily at pop.
 ``seq`` is the global insertion order into the queue (discovery order).
 
 No Spark imports here — pure Python, deliberately boring.
@@ -63,13 +68,20 @@ class OracleFrontier:
     heap: list = field(default_factory=list)
     tokens: dict = field(default_factory=dict)  # host -> (tokens, last_refill)
     fetched: dict = field(default_factory=dict)  # host -> lifetime count
+    cash: dict = field(default_factory=dict)  # opic: canonical_url -> cash
+    seqs: dict = field(default_factory=dict)  # opic: canonical_url -> seq
+    pop_cash: dict = field(default_factory=dict)  # opic: cash at pop time
+
+    @property
+    def _opic(self) -> bool:
+        return self.strategy == "opic"
 
     def _host(self, url: str) -> str:
         from urllib.parse import urlsplit
 
         return urlsplit(url).netloc.partition(":")[0].lower()
 
-    def _schedule(self, url: str, depth: int) -> None:
+    def _schedule(self, url: str, depth: int, cash_in: float = 1.0) -> None:
         canon = canonicalize_url(url)
         if len(canon) > self.max_url_length:
             return
@@ -78,17 +90,31 @@ class OracleFrontier:
         if self.link_filter is not None and not self.link_filter(canon, depth):
             return  # strategy filter_extracted_links: silently dropped
         if canon in self.states:
-            return  # dedup: NOT_CRAWLED-only scheduling (frontera strategy/basic.py)
+            # dedup: NOT_CRAWLED-only scheduling (frontera strategy/basic.py)
+            # — but OPIC cash still accrues on the known page; a QUEUED page
+            # re-keys via a fresh heap entry (old entries go stale)
+            if self._opic:
+                self.cash[canon] = self.cash.get(canon, 0.0) + cash_in
+                if self.states[canon] == QUEUED:
+                    heapq.heappush(
+                        self.heap, ((-self.cash[canon],), self.seqs[canon], canon)
+                    )
+            return
         if self._host(canon) in self.robots_deny_hosts:
             self.states[canon] = SKIPPED_ROBOTS
             return
         self.states[canon] = QUEUED
         self.depths[canon] = depth
-        key = (
-            ORDERINGS[self.strategy](depth, self.seq)
-            if isinstance(self.strategy, str)
-            else self.strategy(canon, depth, self.seq)
-        )
+        if self._opic:
+            self.cash[canon] = cash_in
+            self.seqs[canon] = self.seq
+            key = (-cash_in,)
+        else:
+            key = (
+                ORDERINGS[self.strategy](depth, self.seq)
+                if isinstance(self.strategy, str)
+                else self.strategy(canon, depth, self.seq)
+            )
         heapq.heappush(self.heap, (key, self.seq, canon))
         self.seq += 1
 
@@ -136,6 +162,10 @@ class OracleFrontier:
         floors = min_requests is not None or min_hosts is not None
         while self.heap and len(batch) < max_n:
             key, seq, url = heapq.heappop(self.heap)
+            if self.states.get(url) != QUEUED:
+                continue  # lazy deletion: url already served/skipped
+            if self._opic and key != (-self.cash[url],):
+                continue  # stale opic entry: cash accrued since this push
             host = self._host(url)
             if host not in allowance:
                 allowance[host] = self._host_allowance(host, t_now)
@@ -150,6 +180,11 @@ class OracleFrontier:
                 continue
             allowance[host] -= 1.0
             per_host[host] = per_host.get(host, 0) + 1
+            if self._opic:
+                # engine parity: the loop prices links off the FEED's
+                # pop-time score, so capture cash as of the pop — cash that
+                # lands between pop and links_extracted doesn't re-price
+                self.pop_cash[url] = self.cash.get(url, 1.0)
             batch.append(url)
             if (
                 floors
@@ -171,6 +206,8 @@ class OracleFrontier:
         robots-denied and has lifetime budget left (tokens always refill given
         enough clock, so budget/robots are the only permanent blocks)."""
         for _key, _seq, url in self.heap:
+            if self.states.get(url) != QUEUED:
+                continue  # lazy-deleted/stale entry
             cfg = (self.politeness or {}).get(self._host(url))
             if cfg is None:
                 return True
@@ -185,9 +222,16 @@ class OracleFrontier:
         self.states[canonicalize_url(url)] = CRAWLED
 
     def links_extracted(self, parent_url: str, links: list[str]) -> None:
-        parent_depth = self.depths.get(canonicalize_url(parent_url), 0)
+        canon = canonicalize_url(parent_url)
+        parent_depth = self.depths.get(canon, 0)
+        share = 1.0
+        if self._opic and links:
+            # pop-time cash splits equally over out-links (links later
+            # dropped by depth/length/filters retire their share — matching
+            # the engine, which prices before _prepare's guards)
+            share = self.pop_cash.get(canon, self.cash.get(canon, 1.0)) / len(links)
         for link in links:
-            self._schedule(link, parent_depth + 1)
+            self._schedule(link, parent_depth + 1, cash_in=share)
 
     def request_error(self, url: str) -> None:
         self.states[canonicalize_url(url)] = ERROR

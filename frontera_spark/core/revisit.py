@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _US_PER_DAY = 86_400_000_000
 
@@ -43,6 +44,89 @@ def _epoch_us(col: str = "ts"):
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
         f"CAST({col} AS TIMESTAMP_NTZ))"
     )
+
+
+def fetchlog_schedule(
+    log: DataFrame,
+    base_interval_s: int | None = None,
+    max_backoff_exp: int = 16,
+    page_col: str = "fingerprint",
+    it_col: str = "iteration",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Per-page revisit due times from a raw FETCH log (one row per fetch:
+    page, crawl-clock iteration, content signature) — the complete policy
+    the crawl loop's revisit tick applies:
+
+    - pages with >= 2 observed changes (consecutive fetches whose signatures
+      differ): ``path='adaptive'`` — the Cho–Garcia-Molina estimate from
+      ``change_rate_schedule``, due one mean inter-change gap after the last
+      change;
+    - everything else (given ``base_interval_s``): ``path='backoff'`` — due
+      = last_fetch + base * 2^min(trailing unchanged refetches,
+      max_backoff_exp). The naive estimator can never observe changes
+      faster than it samples, so a FLAT fallback would pin static pages to
+      the same cadence as fast ones forever; exponential backoff is what
+      makes "fast pages are re-fetched more often" true.
+
+    Output: (page_col, n_changes bigint, path string, due_us bigint).
+    ``base_interval_s=None`` returns the adaptive half only. Iterations
+    must be unique per page (one fetch-log row per fetch). ``pow(2, exp)``
+    is exact for the exponent cap's range (integers < 2^53).
+
+    Scale shape: one lag window + two hash aggs over the log — no joins
+    against the frontier; the caller turns due_us into a partition-pruned
+    ``requeue_due`` MERGE.
+    """
+    w = Window.partitionBy(page_col).orderBy(it_col)
+    flagged = log.withColumn("_prev", F.lag(sig_col).over(w)).withColumn(
+        "_chg", F.col("_prev").isNotNull() & (F.col("_prev") != F.col(sig_col))
+    )
+    obs = flagged.filter("_chg").select(
+        F.col(page_col), F.timestamp_seconds(F.col(it_col)).alias("_ts")
+    )
+    adaptive = change_rate_schedule(obs, page_col=page_col, ts_col="_ts").select(
+        F.col(page_col),
+        "n_changes",
+        F.lit("adaptive").alias("path"),
+        F.col("next_due_us").alias("due_us"),
+    )
+    if base_interval_s is None:
+        return adaptive
+    stats = flagged.groupBy(page_col).agg(
+        F.max(it_col).alias("_last_it"),
+        F.sum(F.col("_chg").cast("int")).alias("n_changes"),
+        F.max(F.when(F.col("_chg"), F.col(it_col))).alias("_last_chg_it"),
+    )
+    streaks = (
+        flagged.join(stats.select(page_col, "_last_chg_it"), page_col)
+        .filter(F.col(it_col) > F.coalesce("_last_chg_it", F.lit(-1)))
+        .groupBy(page_col)
+        .agg((F.count(F.lit(1)) - F.lit(1)).alias("_streak"))
+    )
+    exp = F.least(
+        F.greatest(F.coalesce(F.col("_streak"), F.lit(0)), F.lit(0)),
+        F.lit(int(max_backoff_exp)),
+    )
+    backoff = (
+        stats.filter(F.col("n_changes") < 2)
+        # LEFT join: a page whose latest fetch observed its first change has
+        # no post-change fetches at all — it must still re-queue (streak 0)
+        .join(streaks, page_col, "left")
+        .select(
+            F.col(page_col),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+            F.lit("backoff").alias("path"),
+            (
+                (
+                    F.col("_last_it")
+                    + F.lit(int(base_interval_s)) * F.pow(F.lit(2.0), exp).cast("long")
+                )
+                * F.lit(1_000_000)
+            ).cast("bigint").alias("due_us"),
+        )
+    )
+    return adaptive.unionByName(backoff)
 
 
 def change_rate_schedule(

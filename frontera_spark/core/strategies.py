@@ -34,7 +34,7 @@ scheduler's pandas walk.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, ClassVar, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +43,11 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Strategy:
     name: str
+
+    # OPIC-style strategies flip this on: extracted links then carry a
+    # ``_cash`` column and the engine's MERGE accumulates it into ``score``
+    # for already-queued children (plain strategies score rows statically)
+    accumulates_cash: ClassVar[bool] = False
 
     def ordering(self, iteration: int = 0) -> list[Column]:
         """Pop-priority ORDER BY columns (ties broken by seq = discovery order)."""
@@ -91,6 +96,47 @@ class Strategy:
 
 
 @dataclass(frozen=True)
+class OpicStrategy(Strategy):
+    """OPIC as the live frontier prioritizer (Abiteboul, Preda & Cobena,
+    WWW'03 — "crawl the page holding the most cash"), the online scorer
+    frontera deployments paired with ``BaseCrawlingStrategy.schedule(request,
+    score)`` (frontera/strategy/__init__.py:~100-120).
+
+    The ``score`` column IS the page's cash ledger: seeds enter with 1.0;
+    when a page is fetched, its pop-time cash splits equally over its
+    out-links (the crawl loop prices ``_cash = parent_score / outdeg`` per
+    extracted link); fresh children insert with their summed in-batch cash,
+    and cash addressed to already-known pages ACCUMULATES via the table
+    layer's add_cols merge. The pop serves highest-cash-first — no
+    convergence phase, usable after any prefix of the crawl (the property
+    that made OPIC the online choice over PageRank).
+
+    Dangling pages (no out-links) retire their cash: the batch variant's
+    virtual-page redistribution would touch every frontier row per
+    iteration — O(table) at 10^10 rows — and only rescales the greedy
+    ordering; ``operators.pipeline.opic`` keeps the mass-conserving batch
+    semantics for offline importance.
+    """
+
+    name: str = "opic"
+    accumulates_cash: ClassVar[bool] = True
+
+    def ordering(self, iteration: int = 0) -> list[Column]:
+        return [F.col("score").desc(), F.col("seq").asc()]
+
+    def score(self) -> Column:
+        """Insert-time cash: the link's ``_cash`` (seeds/paths without a
+        cash column are stamped 1.0 by the engine before this runs)."""
+        return F.col("_cash")
+
+    def pandas_order(self, iteration: int = 0) -> tuple[Column, Column]:
+        # integral encoding for the politeness walk's int64 order keys:
+        # cash is bounded by total seed mass, so 1e12 quantization fits
+        # int64 up to ~9.2M seeds of unit cash
+        return -F.floor(F.col("score") * F.lit(1e12)).cast("long"), F.col("seq")
+
+
+@dataclass(frozen=True)
 class CustomStrategy(Strategy):
     """User-defined strategy: ordering + score (+ optional link filter)."""
 
@@ -125,3 +171,4 @@ class CustomStrategy(Strategy):
 
 
 STRATEGIES = {n: Strategy(n) for n in ("fifo", "lifo", "bfs", "dfs", "random")}
+STRATEGIES["opic"] = OpicStrategy()

@@ -38,16 +38,20 @@ def run_crawl(
             break
         order.extend(r.canonical_url for r in rows)
         engine.page_crawled(batch)
+        opic = engine.strategy.accumulates_cash
         links = [
-            (link, r.seq, pos, r.depth + 1)
+            (link, r.seq, pos, r.depth + 1, r.score / len(out))
             for r in rows
-            for pos, link in enumerate(graph.get(r.canonical_url, []))
+            for out in [graph.get(r.canonical_url, [])]
+            for pos, link in enumerate(out)
         ]
         batch.unpersist()
         if links:
-            links_df = spark.createDataFrame(
-                links, "url string, parent_seq long, link_pos int, depth int"
-            )
+            schema = "url string, parent_seq long, link_pos int, depth int, _cash double"
+            links_df = spark.createDataFrame(links, schema)
+            if not opic:
+                # plain strategies ignore cash pricing
+                links_df = links_df.drop("_cash")
             engine.links_extracted(links_df)
     states = {
         r.canonical_url: r.state

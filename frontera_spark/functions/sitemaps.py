@@ -47,6 +47,36 @@ def loc_urls(xml: Column) -> Column:
     return F.transform(F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1)), _unescape)
 
 
+def resolve_index(
+    indexes: DataFrame,
+    documents: DataFrame,
+    xml_col: str = "sitemap_xml",
+    url_col: str = "url",
+) -> DataFrame:
+    """Resolve ONE level of sitemaps.org index files: each ``<sitemap><loc>``
+    entry is joined against the fetched sitemap-document table
+    ``documents(url_col, xml_col)`` and every resolved child's ``<loc>`` URL
+    set fans out. Children without a document row are skipped (their fetch
+    failed); deeper nesting is the same call again on the resolved frame.
+
+    Output: (url, _o1, _o2) — _o1 = child position in the index, _o2 = loc
+    position within the child, the deterministic discovery order the seed
+    path sorts on. Scale shape: the child-URL set is tiny relative to the
+    document table (a sitemaps.org index caps at 50k entries) so it
+    broadcasts into the join; the loc fan-out is the same pure codegen
+    projection as ``extract_locs``."""
+    kids = indexes.select(
+        F.posexplode(loc_urls(F.col(xml_col))).alias("_sm_pos", "_sm_url")
+    )
+    resolved = documents.join(
+        F.broadcast(kids), documents[url_col] == kids["_sm_url"], "inner"
+    )
+    return resolved.select(
+        F.col("_sm_pos").alias("_o1"),
+        F.posexplode(loc_urls(documents[xml_col])).alias("_o2", "url"),
+    ).select("url", "_o1", "_o2")
+
+
 def extract_locs(docs: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
     """Explode each sitemap document into one row per ``<loc>`` URL.
 

@@ -2620,6 +2620,161 @@ FROM u GROUP BY host
 """
 
 
+# ------------------------------- R5: full revisit policy over a fetch log
+
+
+def q_revisit_backoff(spark, sf_dir):
+    """The crawl loop's COMPLETE revisit policy (core/revisit.py
+    fetchlog_schedule — the function CrawlLoop._revisit_tick applies each
+    tick): over a deterministic synthetic fetch log (3 fetches per page;
+    pages cycle through fast / one-change / static signature patterns),
+    emit each page's due time — Cho–Garcia-Molina adaptive where >= 2
+    changes were observed, exponential-backoff bootstrap (base 4s) where
+    the estimator can't rank yet. One lag window + two hash aggs; all
+    timestamp math integer microseconds so both engines agree exactly."""
+    from frontera_spark.core.revisit import fetchlog_schedule
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i1 = F.col("doc_id") % 5
+    i2 = i1 + 1 + F.col("doc_id") % 3
+    i3 = i2 + 2 + F.col("doc_id") % 4
+    fetches = d.select(
+        F.col("doc_id").alias("page_id"),
+        (F.col("doc_id") % 3).alias("cls"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("pos"), i1.cast("long").alias("it")),
+                F.struct(F.lit(1).alias("pos"), i2.cast("long").alias("it")),
+                F.struct(F.lit(2).alias("pos"), i3.cast("long").alias("it")),
+            )
+        ).alias("f"),
+    )
+    log = fetches.select(
+        "page_id",
+        F.col("f.it").alias("it"),
+        F.when(F.col("cls") == 0, F.col("f.it"))
+        .when(F.col("cls") == 1, F.when(F.col("f.pos") == 0, F.lit(0)).otherwise(F.lit(1)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sig"),
+    )
+    return fetchlog_schedule(
+        log, base_interval_s=4, page_col="page_id", it_col="it", sig_col="sig"
+    )
+
+
+SQL_REVISIT_BACKOFF = """
+WITH f AS (
+  SELECT doc_id AS page_id, doc_id % 3 AS cls,
+         doc_id % 5 AS i1,
+         doc_id % 5 + 1 + doc_id % 3 AS i2,
+         doc_id % 5 + 1 + doc_id % 3 + 2 + doc_id % 4 AS i3
+  FROM documents
+),
+log AS (
+  SELECT page_id, u.it AS it,
+         CASE WHEN cls = 0 THEN u.it
+              WHEN cls = 1 THEN CASE WHEN u.pos = 0 THEN 0 ELSE 1 END
+              ELSE 0 END AS sig
+  FROM f, UNNEST([{'pos': 0, 'it': i1}, {'pos': 1, 'it': i2}, {'pos': 2, 'it': i3}]) AS t(u)
+),
+flags AS (
+  SELECT page_id, it,
+         (prev IS NOT NULL AND prev <> sig) AS chg
+  FROM (SELECT page_id, it, sig,
+               LAG(sig) OVER (PARTITION BY page_id ORDER BY it) AS prev
+        FROM log)
+),
+stats AS (
+  SELECT page_id, MAX(it) AS last_it,
+         SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS n_chg,
+         MIN(CASE WHEN chg THEN it END) AS first_chg,
+         MAX(CASE WHEN chg THEN it END) AS last_chg
+  FROM flags GROUP BY page_id
+),
+streaks AS (
+  SELECT fl.page_id, COUNT(*) - 1 AS streak
+  FROM flags fl JOIN stats s USING (page_id)
+  WHERE fl.it > COALESCE(s.last_chg, -1)
+  GROUP BY fl.page_id
+)
+SELECT page_id, CAST(n_chg AS BIGINT) AS n_changes, 'adaptive' AS path,
+       CAST(last_chg * 1000000 + ((last_chg - first_chg) * 1000000) // (n_chg - 1)
+            AS BIGINT) AS due_us
+FROM stats WHERE n_chg >= 2 AND last_chg > first_chg
+UNION ALL
+SELECT s.page_id, CAST(s.n_chg AS BIGINT) AS n_changes, 'backoff' AS path,
+       CAST((s.last_it
+             + 4 * (1 << LEAST(GREATEST(COALESCE(k.streak, 0), 0), 16))) * 1000000
+            AS BIGINT) AS due_us
+FROM stats s LEFT JOIN streaks k USING (page_id)
+WHERE s.n_chg < 2
+"""
+
+
+# -------------------------------- R5: sitemap-index resolution (one level)
+
+
+def q_sitemap_index_seeds(spark, sf_dir):
+    """Sitemap-INDEX resolution (functions/sitemaps.py resolve_index — the
+    path FrontierEngine.add_seeds_sitemap_index schedules through): build
+    one child sitemap per host from its corpus URLs plus ONE index document
+    listing every child, resolve index -> children -> URL set, and emit the
+    deterministic discovery order (child position in the index, loc
+    position within the child). Pure codegen regex fan-out + one broadcast
+    join against the (tiny) child set."""
+    from frontera_spark.functions.sitemaps import resolve_index
+
+    entry = F.concat(F.lit("<url><loc>"), _url(), F.lit("</loc></url>"))
+    children = (
+        _t(spark, sf_dir, "documents")
+        .select(_host().alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list("entry"))).alias("body"))
+        .select(
+            F.concat(
+                F.lit("https://sitemaps.example.test/"), F.col("host"), F.lit(".xml")
+            ).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("body"), F.lit("</urlset>")).alias(
+                "sitemap_xml"
+            ),
+        )
+    )
+    idx_body = children.agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.concat(F.lit("<sitemap><loc>"), F.col("url"), F.lit("</loc></sitemap>"))
+                )
+            ),
+        ).alias("body")
+    )
+    idx = idx_body.select(
+        F.concat(F.lit("<sitemapindex>"), F.col("body"), F.lit("</sitemapindex>")).alias(
+            "sitemap_xml"
+        )
+    )
+    resolved = resolve_index(idx, children)
+    return resolved.select(
+        F.col("_o1").alias("sm_pos"), F.col("_o2").alias("loc_pos"), "url"
+    )
+
+
+SQL_SITEMAP_INDEX_SEEDS = f"""
+WITH d AS (
+  SELECT {_HOST_SQL} AS host,
+         '<url><loc>' || {_URL_SQL} || '</loc></url>' AS entry,
+         {_URL_SQL} AS url
+  FROM documents
+)
+SELECT CAST(DENSE_RANK() OVER (ORDER BY host) - 1 AS INT) AS sm_pos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY entry) - 1 AS INT) AS loc_pos,
+       url
+FROM d
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER CONTRACT: the driver records correctness for at most the FIRST 50
@@ -2636,9 +2791,13 @@ FROM u GROUP BY host
 # engine state, not SQL; its SQL-expressible half is seen_shard_keys) — move
 # INTO the cap, displacing eight long-stable projections that are driver-
 # green in ALL of r1–r4 (tokenset/minhash/simhash signatures, token_stats,
-# quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). After
-# this round every registry entry has at least one green driver row on
-# record; the per-round map lives in COVERAGE.md.
+# quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). The two
+# NEW round-5 entries (revisit_backoff — the loop tick's full adaptive +
+# exponential-backoff policy; sitemap_index_seeds — one-level sitemap-index
+# resolution) also enter the cap, displacing embed_topk and
+# exact_dup_groups (driver-green r1–r4). After this round every registry
+# entry has at least one green driver row on record; the per-round map
+# lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -2656,15 +2815,15 @@ QUERIES = {
     "revisit_due": (q_revisit_due, SQL_REVISIT_DUE),
     "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
+    "revisit_backoff": (q_revisit_backoff, SQL_REVISIT_BACKOFF),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "sitemap_index_seeds": (q_sitemap_index_seeds, SQL_SITEMAP_INDEX_SEEDS),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
-    "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
-    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
@@ -2694,6 +2853,8 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -381,6 +381,7 @@ class SnapshotTable:
         affected: set[str],
         m: dict,
         no_insert_col: str | None = None,
+        add_cols: list[str] | None = None,
     ) -> DataFrame:
         """Build the MERGE result frame (exposed so tests can audit the
         executed plan — the broadcastability of the merge is a load-bearing
@@ -390,12 +391,27 @@ class SnapshotTable:
         are update-only — they can match (and set ``set_cols``) but are
         EXCLUDED from the insert branch, so an unknown-key update row drops
         instead of landing as a null-padded insert. The column itself never
-        reaches the table."""
+        reaches the table.
+
+        ``add_cols``: accumulator columns — matched rows get ``t.c + s.c``
+        instead of ``s.c`` (Iceberg's ``UPDATE SET t.c = t.c + s.c`` merge
+        clause; the OPIC cash ledger rides on this). The accumulator flavor
+        changes the null contract for the WHOLE source: a NULL source value
+        in an add_col OR a set_col means "leave the target value alone", so
+        one source frame can carry heterogeneous updates (state transitions
+        with no cash, cash with no state transition) without clobbering.
+        Plain merges (``add_cols=None``) keep set-to-NULL semantics —
+        revisit/recover legitimately null out batch_id."""
         key = m["key"]
         target = self.read()
         cols = target.columns
+        add_cols = add_cols or []
         if set_cols is None:
-            set_cols = [c for c in cols if c not in key and c != PARTITION_COL]
+            set_cols = [
+                c
+                for c in cols
+                if c not in key and c != PARTITION_COL and c not in add_cols
+            ]
         extra = [no_insert_col] if no_insert_col else []
         if insert or set(cols) <= set(source.columns):
             src = source.select(*cols, *extra)
@@ -404,7 +420,11 @@ class SnapshotTable:
             # nothing from the source beyond key + set_cols, so an update
             # batch may arrive as just those columns — no caller-side
             # reconstruction join against the (10^10-row) target to widen it
-            need = list(dict.fromkeys(key + [c for c in set_cols if c != PARTITION_COL]))
+            need = list(
+                dict.fromkeys(
+                    key + [c for c in [*set_cols, *add_cols] if c != PARTITION_COL]
+                )
+            )
             missing = [c for c in need if c not in source.columns]
             if missing:
                 raise ValueError(
@@ -441,8 +461,25 @@ class SnapshotTable:
             tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
             if c in key or c == PARTITION_COL:
                 proj.append(tc.alias(c))
+            elif c in add_cols:
+                # accumulate: coalesce covers a NULL target (insert-then-add
+                # races can't happen single-writer, but a null-scored row
+                # should still absorb cash rather than poison the sum)
+                proj.append(
+                    F.when(
+                        matched_s & sc.isNotNull(), F.coalesce(tc + sc, sc)
+                    )
+                    .otherwise(tc)
+                    .alias(c)
+                )
             elif c in set_cols:
-                proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
+                if add_cols:
+                    # accumulator merges null-guard sets too (see docstring)
+                    proj.append(
+                        F.when(matched_s & sc.isNotNull(), sc).otherwise(tc).alias(c)
+                    )
+                else:
+                    proj.append(F.when(matched_s, sc).otherwise(tc).alias(c))
             else:
                 proj.append(tc.alias(c))
         # no explicit broadcast hint: AQE converts either join to a
@@ -467,13 +504,16 @@ class SnapshotTable:
         meta: dict | None = None,
         affected_pids: list[int] | None = None,
         no_insert_col: str | None = None,
+        add_cols: list[str] | None = None,
     ) -> int:
         """MERGE INTO this USING source ON key.
 
         WHEN MATCHED: update ``set_cols`` (default: all non-key columns) from
-        source. WHEN NOT MATCHED: insert source row (if ``insert``); rows
-        whose boolean ``no_insert_col`` is true are update-only and never
-        insert (see _merged_frame).
+        source, and accumulate ``add_cols`` as ``t.c + s.c`` (NULL source
+        values leave the target untouched in accumulator mode — see
+        _merged_frame). WHEN NOT MATCHED: insert source row (if ``insert``);
+        rows whose boolean ``no_insert_col`` is true are update-only and
+        never insert (see _merged_frame).
 
         Only partitions present in ``source`` are rewritten; the rest of the
         table is re-linked. Source MUST carry partition_id consistent with the
@@ -513,7 +553,13 @@ class SnapshotTable:
             source = source.cache()
             cached = True
         merged = self._merged_frame(
-            source, set_cols, insert, affected, m, no_insert_col=no_insert_col
+            source,
+            set_cols,
+            insert,
+            affected,
+            m,
+            no_insert_col=no_insert_col,
+            add_cols=add_cols,
         )
         new_dirs, new_counts = self._write_partitions(merged, sid)
         if cached:

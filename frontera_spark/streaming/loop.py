@@ -134,14 +134,31 @@ def fetch_stage(
     return joined.mapInPandas(decode, FETCH_RESULT_SCHEMA)
 
 
-def extract_links(results: DataFrame) -> DataFrame:
+def extract_links(results: DataFrame, parent_scores: DataFrame | None = None) -> DataFrame:
     """links_extracted input: (url, parent_seq, link_pos, depth) rows in the
-    exact order the single-consumer reference ingests them."""
-    return results.select(
+    exact order the single-consumer reference ingests them.
+
+    ``parent_scores`` (seq, _pscore — the feed batch's pop-time scores)
+    turns on OPIC link pricing: each link carries ``_cash = parent's
+    pop-time cash / outdeg``. The join is batch×batch and the feed side is
+    broadcast, so the pricing adds no shuffle."""
+    links = results.select(
         F.col("seq").alias("parent_seq"),
         (F.col("depth") + 1).alias("depth"),
+        F.size("out_links").alias("_nout"),
         F.posexplode("out_links").alias("link_pos", "url"),
-    ).select("url", "parent_seq", "link_pos", "depth")
+    )
+    if parent_scores is not None:
+        links = links.join(
+            F.broadcast(
+                parent_scores.select(
+                    F.col("seq").alias("parent_seq"), F.col("score").alias("_pscore")
+                )
+            ),
+            "parent_seq",
+        ).withColumn("_cash", F.col("_pscore") / F.col("_nout"))
+        return links.select("url", "parent_seq", "link_pos", "depth", "_cash")
+    return links.select("url", "parent_seq", "link_pos", "depth")
 
 
 class CrawlLoop:
@@ -171,6 +188,8 @@ class CrawlLoop:
         use_seen_shards: bool = False,
         shard_capacity: int = 1 << 20,
         trap_guard: dict | None = None,
+        revisit: dict | None = None,
+        dynamic_hosts: dict | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -195,6 +214,23 @@ class CrawlLoop:
             trap_guard["every"] = max(1, int(trap_guard.get("every", 5)))
         self.trap_guard = trap_guard
         self._trap_caps: dict[str, int] = {}
+        # adaptive revisit (X6 adaptive edition — engine.revisit_adaptive):
+        # {"every": k iterations between re-schedule ticks, "bootstrap_after":
+        # m or None — fixed-interval re-queue of CRAWLED pages (engine.revisit)
+        # so pages accrue the >= 2 change observations the Cho–Garcia-Molina
+        # estimator needs before it can take over}. A revisit-enabled crawl
+        # has no natural exhaustion (that is the point of revisiting) —
+        # callers bound it with run(max_iterations=...).
+        if revisit is not None:
+            revisit = dict(revisit)
+            revisit["every"] = max(1, int(revisit.get("every", 5)))
+        self.revisit_cfg = revisit
+        # simulator change model: host -> change period (iterations). A page
+        # on a dynamic host has content version = iteration // period at
+        # fetch time; the fetch log's content signature hashes that version,
+        # standing in for the body checksum a real crawler would record.
+        self.dynamic_hosts = dict(dynamic_hosts or {})
+        self.fetchlog_dir = os.path.join(workdir, "fetchlog")
         self.engine = FrontierEngine(
             spark,
             workdir,
@@ -247,6 +283,97 @@ class CrawlLoop:
             insert=False,
             affected_pids=[r["partition_id"] for r in pid_rows],
         )
+
+    # -------------------------------------------------------------- revisit
+
+    def _content_sig(self, iteration: int):
+        """Content signature of a fetched page at ``iteration`` — the
+        simulator's stand-in for hashing the downloaded body. Dynamic hosts'
+        version advances every ``period`` iterations; everything else is
+        version 0 forever. Pure projection (map lookup + xxhash64)."""
+        version = F.lit(0).cast("long")
+        if self.dynamic_hosts:
+            periods = F.create_map(
+                *[F.lit(x) for kv in self.dynamic_hosts.items() for x in kv]
+            )
+            version = F.coalesce(
+                F.floor(F.lit(iteration) / periods[F.col("host")]).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        return F.xxhash64(F.col("image_id"), version)
+
+    def _append_fetch_log(self, iteration: int, results: DataFrame) -> None:
+        """One narrow row per fetched page: (fingerprint, partition_id,
+        iteration, sig). Written per-iteration into ``iter=<i>/`` with
+        overwrite semantics, so a replayed iteration leaves one copy (same
+        resume contract as metrics). O(batch) rows; the write only runs when
+        revisit is configured."""
+        (
+            results.select(
+                "fingerprint",
+                "partition_id",
+                F.lit(iteration).alias("iteration"),
+                self._content_sig(iteration).alias("sig"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.fetchlog_dir, f"iter={iteration}"))
+        )
+
+    def _revisit_tick(self) -> int:
+        """Re-schedule recrawls from observed content changes.
+
+        Change observations are consecutive fetch-log rows of a page whose
+        signatures differ — one lag window keyed by fingerprint over the
+        fetch log, timestamped on the deterministic crawl clock
+        (``timestamp_seconds(iteration)``, the same clock the pop's
+        ``crawl_at`` gate reads). The whole policy lives in
+        ``core.revisit.fetchlog_schedule`` (oracle-paired as the
+        ``revisit_backoff`` driver query): Cho–Garcia-Molina due times for
+        pages with >= 2 observed changes, bootstrap interval with
+        EXPONENTIAL BACKOFF for the rest. One ``engine.requeue_due`` MERGE
+        applies both paths (CRAWLED rows only — QUEUED pages keep the due
+        time they were re-queued under).
+
+        Scale shape: the window + aggs are two hash shuffles over the fetch
+        log, every ``every`` iterations. A 10^10-page deployment would fold
+        the log incrementally instead (checkpoint per-page last-sig + change
+        stats and union only new iterations); the estimator and MERGE paths
+        are already O(changers).
+        """
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(self.fetchlog_dir, "iter=*")):
+            return 0
+        from frontera_spark.core.revisit import fetchlog_schedule
+
+        log = self.spark.read.option("basePath", self.fetchlog_dir).parquet(
+            os.path.join(self.fetchlog_dir, "iter=*")
+        )
+        sched = fetchlog_schedule(
+            log,
+            base_interval_s=self.revisit_cfg.get("bootstrap_after"),
+            max_backoff_exp=int(self.revisit_cfg.get("max_backoff_exp", 16)),
+        )
+        due = sched.join(
+            log.select("fingerprint", "partition_id").distinct(), "fingerprint"
+        ).select(
+            "fingerprint",
+            "partition_id",
+            F.timestamp_micros(F.col("due_us")).alias("crawl_at"),
+        )
+        return self.engine.requeue_due(due)
+
+    def _revisit_pending(self) -> bool:
+        """True while a future tick can still produce work: any QUEUED row
+        (due later on the clock) or, with a bootstrap interval, any CRAWLED
+        row (the next tick re-queues it)."""
+        from frontera_spark import STATE_CRAWLED
+
+        states = [STATE_QUEUED]
+        if self.revisit_cfg.get("bootstrap_after"):
+            states.append(STATE_CRAWLED)
+        return not self.engine.table.read().filter(F.col("state").isin(states)).isEmpty()
 
     def add_seeds(self, urls: list[str]) -> int:
         seeds = self.spark.createDataFrame(
@@ -314,6 +441,8 @@ class CrawlLoop:
         # corpus entry, so errors per partition = popped − fetched (no
         # anti-join count job). The errored ROWS themselves are only built
         # (lazily, against the cached ≤batch-size results) when any exist.
+        if self.revisit_cfg is not None:
+            self._append_fetch_log(iteration, results)
         fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
         err_by_pid = {
             pid: n - fetched_by_pid.get(pid, 0)
@@ -336,7 +465,14 @@ class CrawlLoop:
 
         # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
         # new links' QUEUED inserts land in ONE MERGE commit per iteration
-        links = extract_links(results)
+        links = extract_links(
+            results,
+            parent_scores=(
+                feed.select("seq", "score")
+                if self.engine.strategy.accumulates_cash
+                else None
+            ),
+        )
         n_scheduled = self.engine.ingest_results(
             results, missing, links, update_pids=upd_pids
         )
@@ -437,6 +573,12 @@ class CrawlLoop:
             # its cost amortizes over the appends that created the deltas —
             # Iceberg's rewrite_data_files scheduled inline.
             self.engine.compact_if_needed()
+            if (
+                self.revisit_cfg is not None
+                and self.engine.iteration
+                and self.engine.iteration % self.revisit_cfg["every"] == 0
+            ):
+                self._revisit_tick()
             m = self.run_iteration()
             if verbose:
                 print(m)
@@ -445,6 +587,12 @@ class CrawlLoop:
                 # throttled right now" — stop only when nothing can EVER be
                 # served (robots/budget), mirroring oracle.can_make_progress
                 if self.scheduler is not None and self.scheduler.has_pending():
+                    continue
+                # with revisiting an empty tick may mean "everything due
+                # later on the clock" — keep ticking while re-queues remain
+                # possible (bounded by max_iterations: revisiting crawls
+                # have no natural exhaustion)
+                if self.revisit_cfg is not None and self._revisit_pending():
                     continue
                 break
             history.append(m)

@@ -270,3 +270,77 @@ def test_stream_results_from_kafka_shaped_bus(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert eng.table.read().count() == 3
+
+
+def test_stream_front_door_full_iteration_matches_batch_loop(spark, tmp_path):
+    """One crawl iteration END-TO-END through the streaming front door
+    (VERDICT r4 next #7): pop → fetch_stage (real corpus decode) →
+    codec-framed Kafka-wire bus → stream_results_from_bus under availableNow
+    → fused ingest_results — final state identical to a batch
+    CrawlLoop.run_iteration twin (SURVEY §2.9 X1–X4 production drop-in)."""
+    from frontera_spark.sources.corpus import url_of, write_corpus
+    from frontera_spark.streaming.codecs import encode_results
+    from frontera_spark.streaming.loop import FEED_COLS, CrawlLoop, fetch_stage
+    from frontera_spark.streaming.stream_ingest import (
+        kafka_shaped_stream,
+        stream_results_from_bus,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    n_hosts, seed = 5, 7
+    write_corpus(spark, corpus_path, 24, n_hosts, seed)
+    # second seed has no corpus entry -> the 404/ERROR leg travels the bus too
+    seeds = [url_of(0, n_hosts), "https://h000.example.test/i/img99999999"]
+
+    # batch twin: the fused in-engine path
+    loop = CrawlLoop(
+        spark, str(tmp_path / "batch"), corpus_path, corpus_seed=seed,
+        strategy="bfs", batch_size=8, n_partitions=2, mode="global",
+    )
+    loop.add_seeds(seeds)
+    loop.run_iteration()
+
+    # stream twin: same pop, results framed by the codec onto the fake bus
+    eng = FrontierEngine(spark, str(tmp_path / "stream"), n_partitions=2, strategy="bfs")
+    eng.add_seeds(
+        spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seq int"
+        )
+    )
+    corpus = spark.read.parquet(corpus_path)
+    feed = eng.get_next_requests(8, mode="global")
+    ok = fetch_stage(feed, corpus, seed).withColumn("status_code", F.lit(200))
+    keep = [*FEED_COLS, "out_links", "status_code"]
+    results = ok.select(*keep).unionByName(
+        feed.select(*FEED_COLS)
+        .join(ok.select("canonical_url"), "canonical_url", "left_anti")
+        .withColumn("out_links", F.array().cast("array<string>"))
+        .withColumn("status_code", F.lit(404))
+        .select(*keep)
+    )
+    framed = encode_results(results, partitions=2, status_code=F.col("status_code"))
+    wire = framed.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("spider-log").alias("topic"),
+        F.col("key").cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    bus_dir = str(tmp_path / "bus")
+    wire.write.parquet(bus_dir)
+    feed.unpersist()
+    q = stream_results_from_bus(
+        eng, kafka_shaped_stream(spark, bus_dir), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    cols = ["canonical_url", "state", "depth", "seq"]
+    batch_state = {tuple(r) for r in loop.engine.table.read().select(*cols).collect()}
+    stream_state = {tuple(r) for r in eng.table.read().select(*cols).collect()}
+    assert batch_state == stream_state
+    # sanity: the iteration actually crawled, errored, and scheduled
+    states = {s for (_, s, _, _) in batch_state}
+    from frontera_spark import STATE_ERROR
+
+    assert {STATE_CRAWLED, STATE_ERROR, STATE_QUEUED} <= states
