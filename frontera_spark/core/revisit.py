@@ -129,6 +129,151 @@ def fetchlog_schedule(
     return adaptive.unionByName(backoff)
 
 
+# --------------------------------------------------------- incremental fold
+#
+# ``fetchlog_schedule`` recomputes over the FULL fetch log each tick —
+# exact, but O(total fetch history) with a per-page sort window, which a
+# long-running revisiting crawl pays again every tick as the log grows
+# without bound. The pair below is the constant-per-tick formulation: all
+# the policy ever reads of a page's history is a FIXED per-page summary
+# (last signature, change count, first/last change iteration, trailing
+# unchanged tail), and that summary folds associatively — state ⊕ new
+# fetch slice → state — so each tick touches only the iterations appended
+# since the last tick. ``state_schedule(fold(...))`` is pinned bit-equal to
+# ``fetchlog_schedule(full log)`` by tests and by the ``revisit_fold``
+# driver oracle (same SQL as ``revisit_backoff``).
+
+#: per-page summary the fold maintains (page key + partition_id first):
+#:   last_it      — newest fetched iteration
+#:   last_sig     — its content signature (the next slice's boundary lag)
+#:   n_changes    — lifetime observed changes (consecutive-sig diffs)
+#:   first_chg_it / last_chg_it — change-span endpoints (adaptive estimator)
+#:   tail         — fetch rows strictly after the last change (= all rows
+#:                  while no change yet); backoff exponent = max(tail-1, 0)
+REVISIT_STATE_DDL = (
+    "fingerprint long, partition_id int, last_it long, last_sig long, "
+    "n_changes long, first_chg_it long, last_chg_it long, tail long"
+)
+
+
+def fold_fetch_slice(
+    state: DataFrame | None,
+    fetch_slice: DataFrame,
+    page_col: str = "fingerprint",
+    it_col: str = "iteration",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Fold a NEW fetch-log slice into the per-page revisit state.
+
+    ``fetch_slice`` — (page_col, partition_id, it_col, sig_col) rows for
+    iterations STRICTLY NEWER than anything already folded (the caller
+    tracks the high-water iteration; out-of-order slices would corrupt the
+    lag boundary). ``state`` — prior REVISIT_STATE_DDL rows, or None on the
+    first fold; only rows for the slice's pages are read, so pass a
+    key-pruned subset at scale. Returns folded state rows for the SLICE's
+    pages only (untouched pages keep their rows via the caller's MERGE).
+
+    Scale shape: one window over the slice (not the history), one hash agg,
+    one slice-sized left join against the pruned state — O(slice) per tick
+    regardless of crawl age.
+    """
+    w = Window.partitionBy(page_col).orderBy(it_col)
+    st = state
+    if st is None:
+        spark = fetch_slice.sparkSession
+        st = spark.createDataFrame([], REVISIT_STATE_DDL)
+    st = st.select(
+        F.col("fingerprint").alias(page_col) if page_col != "fingerprint" else F.col(page_col),
+        F.col("last_sig").alias("_st_sig"),
+        F.col("n_changes").alias("_st_n"),
+        F.col("first_chg_it").alias("_st_first"),
+        F.col("last_chg_it").alias("_st_last_chg"),
+        F.col("tail").alias("_st_tail"),
+    )
+    rows = (
+        fetch_slice.withColumn("_prev_in", F.lag(sig_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .join(st, page_col, "left")
+    )
+    prev = F.coalesce(F.col("_prev_in"), F.col("_st_sig"))
+    chg = prev.isNotNull() & (prev != F.col(sig_col))
+    agg = rows.groupBy(page_col).agg(
+        F.first("partition_id").alias("partition_id"),
+        F.first("_st_n").alias("_st_n"),
+        F.first("_st_first").alias("_st_first"),
+        F.first("_st_last_chg").alias("_st_last_chg"),
+        F.first("_st_tail").alias("_st_tail"),
+        F.max(it_col).alias("last_it"),
+        F.max_by(F.col(sig_col), F.col(it_col)).alias("last_sig"),
+        F.sum(chg.cast("long")).alias("_n_new"),
+        F.min(F.when(chg, F.col(it_col))).alias("_first_new"),
+        F.max(F.when(chg, F.col(it_col))).alias("_last_new"),
+        F.count(F.lit(1)).alias("_n_rows"),
+        # slice rows strictly after the slice's last change = count minus
+        # the change row's position (all rows when the slice has no change)
+        F.max(F.when(chg, F.col("_rn"))).alias("_last_chg_rn"),
+    )
+    z = F.lit(0).cast("long")
+    return agg.select(
+        F.col(page_col).alias("fingerprint") if page_col != "fingerprint" else F.col(page_col),
+        "partition_id",
+        "last_it",
+        "last_sig",
+        (F.coalesce("_st_n", z) + F.col("_n_new")).alias("n_changes"),
+        F.coalesce("_st_first", "_first_new").alias("first_chg_it"),
+        F.coalesce("_last_new", "_st_last_chg").alias("last_chg_it"),
+        F.when(F.col("_n_new") > 0, F.col("_n_rows") - F.col("_last_chg_rn"))
+        .otherwise(F.coalesce("_st_tail", z) + F.col("_n_rows"))
+        .alias("tail"),
+    )
+
+
+def state_schedule(
+    state: DataFrame,
+    base_interval_s: int | None = None,
+    max_backoff_exp: int = 16,
+    page_col: str = "fingerprint",
+) -> DataFrame:
+    """``fetchlog_schedule`` computed from folded REVISIT_STATE rows instead
+    of the raw log — same output contract (page, n_changes, path, due_us),
+    bit-equal by construction: the state columns are exactly the aggregates
+    the full-log policy reduces the history to. No window, no join: two
+    filters and pure integer projections over O(pages-in-state) rows."""
+    src = state.select(F.col("fingerprint").alias(page_col), *state.columns[1:]) if (
+        page_col != "fingerprint"
+    ) else state
+    adaptive = src.filter(
+        (F.col("n_changes") >= 2) & (F.col("last_chg_it") > F.col("first_chg_it"))
+    ).select(
+        F.col(page_col),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        F.lit("adaptive").alias("path"),
+        (
+            F.col("last_chg_it") * F.lit(1_000_000)
+            + F.expr("((last_chg_it - first_chg_it) * 1000000) div (n_changes - 1)")
+        ).cast("bigint").alias("due_us"),
+    )
+    if base_interval_s is None:
+        return adaptive
+    exp = F.least(
+        F.greatest(F.col("tail") - F.lit(1), F.lit(0).cast("long")),
+        F.lit(int(max_backoff_exp)).cast("long"),
+    )
+    backoff = src.filter(F.col("n_changes") < 2).select(
+        F.col(page_col),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        F.lit("backoff").alias("path"),
+        (
+            (
+                F.col("last_it")
+                + F.lit(int(base_interval_s)) * F.pow(F.lit(2.0), exp).cast("long")
+            )
+            * F.lit(1_000_000)
+        ).cast("bigint").alias("due_us"),
+    )
+    return adaptive.unionByName(backoff)
+
+
 def change_rate_schedule(
     observations: DataFrame,
     page_col: str = "page_id",

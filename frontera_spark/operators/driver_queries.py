@@ -2623,17 +2623,11 @@ FROM u GROUP BY host
 # ------------------------------- R5: full revisit policy over a fetch log
 
 
-def q_revisit_backoff(spark, sf_dir):
-    """The crawl loop's COMPLETE revisit policy (core/revisit.py
-    fetchlog_schedule — the function CrawlLoop._revisit_tick applies each
-    tick): over a deterministic synthetic fetch log (3 fetches per page;
-    pages cycle through fast / one-change / static signature patterns),
-    emit each page's due time — Cho–Garcia-Molina adaptive where >= 2
-    changes were observed, exponential-backoff bootstrap (base 4s) where
-    the estimator can't rank yet. One lag window + two hash aggs; all
-    timestamp math integer microseconds so both engines agree exactly."""
-    from frontera_spark.core.revisit import fetchlog_schedule
-
+def _revisit_fetch_log(spark, sf_dir):
+    """Deterministic synthetic fetch log over ``documents`` (3 fetches per
+    page; pages cycle through fast / one-change / static signature
+    patterns) — shared by the full-log policy query (revisit_backoff) and
+    its incremental-fold twin (revisit_fold)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     i1 = F.col("doc_id") % 5
     i2 = i1 + 1 + F.col("doc_id") % 3
@@ -2649,7 +2643,7 @@ def q_revisit_backoff(spark, sf_dir):
             )
         ).alias("f"),
     )
-    log = fetches.select(
+    return fetches.select(
         "page_id",
         F.col("f.it").alias("it"),
         F.when(F.col("cls") == 0, F.col("f.it"))
@@ -2658,9 +2652,49 @@ def q_revisit_backoff(spark, sf_dir):
         .cast("long")
         .alias("sig"),
     )
+
+
+def q_revisit_backoff(spark, sf_dir):
+    """The crawl loop's COMPLETE revisit policy (core/revisit.py
+    fetchlog_schedule — the function CrawlLoop._revisit_tick applies each
+    tick): over a deterministic synthetic fetch log (3 fetches per page;
+    pages cycle through fast / one-change / static signature patterns),
+    emit each page's due time — Cho–Garcia-Molina adaptive where >= 2
+    changes were observed, exponential-backoff bootstrap (base 4s) where
+    the estimator can't rank yet. One lag window + two hash aggs; all
+    timestamp math integer microseconds so both engines agree exactly."""
+    from frontera_spark.core.revisit import fetchlog_schedule
+
+    log = _revisit_fetch_log(spark, sf_dir)
     return fetchlog_schedule(
         log, base_interval_s=4, page_col="page_id", it_col="it", sig_col="sig"
     )
+
+
+def q_revisit_fold(spark, sf_dir):
+    """The SAME policy output as ``revisit_backoff``, computed the way a
+    long-running crawl actually computes it (core/revisit.py
+    fold_fetch_slice + state_schedule, the CrawlLoop incremental tick):
+    the log arrives as TWO consecutive iteration slices (it < 6, it >= 6),
+    each folded into the per-page state — so the DuckDB oracle (the
+    full-log SQL) certifies the fold's associativity end-to-end through
+    the driver, boundary changes and trailing-streak carry included. Scale
+    shape per slice: one window over the slice + one hash agg + a pruned
+    state join — O(slice) regardless of crawl age."""
+    from frontera_spark.core.revisit import fold_fetch_slice, state_schedule
+
+    log = _revisit_fetch_log(spark, sf_dir).withColumn(
+        "partition_id", (F.col("page_id") % 4).cast("int")
+    )
+    kw = dict(page_col="page_id", it_col="it", sig_col="sig")
+    st1 = fold_fetch_slice(None, log.filter(F.col("it") < 6), **kw)
+    st2 = fold_fetch_slice(st1, log.filter(F.col("it") >= 6), **kw)
+    # the state table's MERGE in DataFrame form: folded rows replace,
+    # pages untouched by the second slice persist
+    merged = st2.unionByName(
+        st1.join(st2.select("fingerprint"), "fingerprint", "left_anti")
+    )
+    return state_schedule(merged, base_interval_s=4, page_col="page_id")
 
 
 SQL_REVISIT_BACKOFF = """
@@ -2710,6 +2744,9 @@ SELECT s.page_id, CAST(s.n_chg AS BIGINT) AS n_changes, 'backoff' AS path,
 FROM stats s LEFT JOIN streaks k USING (page_id)
 WHERE s.n_chg < 2
 """
+
+# the fold is pinned to the FULL-LOG policy — same oracle by construction
+SQL_REVISIT_FOLD = SQL_REVISIT_BACKOFF
 
 
 # -------------------------------- R5: sitemap-index resolution (one level)
@@ -2791,11 +2828,13 @@ FROM d
 # engine state, not SQL; its SQL-expressible half is seen_shard_keys) — move
 # INTO the cap, displacing eight long-stable projections that are driver-
 # green in ALL of r1–r4 (tokenset/minhash/simhash signatures, token_stats,
-# quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). The two
-# NEW round-5 entries (revisit_backoff — the loop tick's full adaptive +
-# exponential-backoff policy; sitemap_index_seeds — one-level sitemap-index
-# resolution) also enter the cap, displacing embed_topk and
-# exact_dup_groups (driver-green r1–r4). After this round every registry
+# quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). The
+# three NEW round-5 entries (revisit_backoff — the loop tick's full
+# adaptive + exponential-backoff policy; revisit_fold — the SAME policy via
+# the incremental two-slice fold, certifying fold associativity against
+# the full-log SQL; sitemap_index_seeds — one-level sitemap-index
+# resolution) also enter the cap, displacing embed_topk, exact_dup_groups
+# and doc_fingerprint (driver-green r1–r4). After this round every registry
 # entry has at least one green driver row on record; the per-round map
 # lives in COVERAGE.md.
 
@@ -2816,6 +2855,7 @@ QUERIES = {
     "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
     "revisit_backoff": (q_revisit_backoff, SQL_REVISIT_BACKOFF),
+    "revisit_fold": (q_revisit_fold, SQL_REVISIT_FOLD),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "sitemap_index_seeds": (q_sitemap_index_seeds, SQL_SITEMAP_INDEX_SEEDS),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
@@ -2832,7 +2872,6 @@ QUERIES = {
     "lsh_neardup_pairs_t08": (q_lsh_neardup_pairs_t08, SQL_LSH_NEARDUP_PAIRS_T08),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
@@ -2855,6 +2894,7 @@ QUERIES = {
     # verified by the local sf0.001 gate + bench.py each round
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -224,7 +224,15 @@ class CrawlLoop:
         if revisit is not None:
             revisit = dict(revisit)
             revisit["every"] = max(1, int(revisit.get("every", 5)))
+            # "incremental" (default, the scale path): fold each tick's NEW
+            # fetch-log slice into a per-page state table and schedule from
+            # the fold — O(slice) per tick. "full": recompute over the whole
+            # log — the reference policy the fold is pinned bit-equal to.
+            mode = revisit.setdefault("mode", "incremental")
+            if mode not in ("incremental", "full"):
+                raise ValueError(f"revisit mode {mode!r}")
         self.revisit_cfg = revisit
+        self._revisit_state = None  # lazy SnapshotTable (incremental mode)
         # simulator change model: host -> change period (iterations). A page
         # on a dynamic host has content version = iteration // period at
         # fetch time; the fetch log's content signature hashes that version,
@@ -345,6 +353,8 @@ class CrawlLoop:
 
         if not _glob.glob(os.path.join(self.fetchlog_dir, "iter=*")):
             return 0
+        if self.revisit_cfg["mode"] == "incremental":
+            return self._revisit_tick_incremental()
         from frontera_spark.core.revisit import fetchlog_schedule
 
         log = self.spark.read.option("basePath", self.fetchlog_dir).parquet(
@@ -363,6 +373,76 @@ class CrawlLoop:
             F.timestamp_micros(F.col("due_us")).alias("crawl_at"),
         )
         return self.engine.requeue_due(due)
+
+    def _revisit_state_table(self):
+        """Lazy per-page revisit-state SnapshotTable (REVISIT_STATE_DDL),
+        keyed like the frontier and carrying the fold high-water iteration
+        in its manifest meta — so a resumed crawl folds only the iterations
+        appended since the last committed fold (replayed iterations rewrite
+        their iter dir with deterministic identical content, so skipping
+        already-folded ones is safe)."""
+        if self._revisit_state is None:
+            from frontera_spark.core.revisit import REVISIT_STATE_DDL
+            from frontera_spark.plans.snapshot import SnapshotTable
+
+            path = os.path.join(self.workdir, "revisit_state")
+            if os.path.exists(os.path.join(path, "CURRENT")):
+                self._revisit_state = SnapshotTable.load(self.spark, path)
+            else:
+                self._revisit_state = SnapshotTable.create(
+                    self.spark, path, REVISIT_STATE_DDL, key=["fingerprint"]
+                )
+        return self._revisit_state
+
+    def _revisit_tick_incremental(self) -> int:
+        """The tick at scale: fold only the fetch-log iterations NEWER than
+        the state table's committed high-water mark, then schedule and
+        requeue ONLY the folded pages. Sufficient, not just cheaper: a page
+        can only be CRAWLED (the one state requeue_due touches) by being
+        fetched, and every fetch lands in some tick's slice — a page
+        untouched since the last fold was already requeued by the tick that
+        folded its last fetch (or has no schedule row in either mode). Cost
+        per tick: one window + one agg over the slice, a slice-pruned state
+        join, and two partition-pruned MERGEs — O(slice), never O(history)
+        like the full recompute."""
+        import glob as _glob
+
+        from frontera_spark.core.revisit import fold_fetch_slice, state_schedule
+
+        tbl = self._revisit_state_table()
+        hw = int(tbl.manifest().get("meta", {}).get("folded_iter", -1))
+        its = sorted(
+            (int(d.rsplit("=", 1)[1]), d)
+            for d in _glob.glob(os.path.join(self.fetchlog_dir, "iter=*"))
+            if int(d.rsplit("=", 1)[1]) > hw
+        )
+        if not its:
+            return 0
+        fetch_slice = self.spark.read.parquet(*[d for _, d in its])
+        state_sub = tbl.read(with_marks=False).join(
+            F.broadcast(fetch_slice.select("fingerprint").distinct()),
+            "fingerprint",
+            "left_semi",
+        )
+        folded = fold_fetch_slice(state_sub, fetch_slice).cache()
+        pids = [r["partition_id"] for r in folded.select("partition_id").distinct().collect()]
+        if not pids:
+            folded.unpersist()
+            return 0
+        tbl.upsert(folded, meta={"folded_iter": its[-1][0]}, affected_pids=pids)
+        sched = state_schedule(
+            folded,
+            base_interval_s=self.revisit_cfg.get("bootstrap_after"),
+            max_backoff_exp=int(self.revisit_cfg.get("max_backoff_exp", 16)),
+        )
+        due = sched.join(folded.select("fingerprint", "partition_id"), "fingerprint").select(
+            "fingerprint",
+            "partition_id",
+            F.timestamp_micros(F.col("due_us")).alias("crawl_at"),
+        )
+        n = self.engine.requeue_due(due)
+        folded.unpersist()
+        return n
 
     def _revisit_pending(self) -> bool:
         """True while a future tick can still produce work: any QUEUED row
