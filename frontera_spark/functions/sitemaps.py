@@ -57,7 +57,9 @@ def resolve_index(
     entry is joined against the fetched sitemap-document table
     ``documents(url_col, xml_col)`` and every resolved child's ``<loc>`` URL
     set fans out. Children without a document row are skipped (their fetch
-    failed); deeper nesting is the same call again on the resolved frame.
+    failed). One level is spec-complete — sitemaps.org forbids index files
+    from listing other index files; for out-of-spec nesting the same call
+    composes on the resolved frame.
 
     Output: (url, _o1, _o2) — _o1 = child position in the index, _o2 = loc
     position within the child, the deterministic discovery order the seed

@@ -419,16 +419,25 @@ class CrawlLoop:
         if not its:
             return 0
         fetch_slice = self.spark.read.parquet(*[d for _, d in its])
-        state_sub = tbl.read(with_marks=False).join(
-            F.broadcast(fetch_slice.select("fingerprint").distinct()),
-            "fingerprint",
-            "left_semi",
+        # every slice page yields exactly one folded row, so the slice's
+        # partitions ARE the fold's affected partitions — one collect, and
+        # the state read prunes to those partitions before the key semi-join
+        pids = [
+            r["partition_id"]
+            for r in fetch_slice.select("partition_id").distinct().collect()
+        ]
+        if not pids:
+            return 0
+        state_sub = (
+            tbl.read(with_marks=False)
+            .filter(F.col("partition_id").isin(pids))
+            .join(
+                F.broadcast(fetch_slice.select("fingerprint").distinct()),
+                "fingerprint",
+                "left_semi",
+            )
         )
         folded = fold_fetch_slice(state_sub, fetch_slice).cache()
-        pids = [r["partition_id"] for r in folded.select("partition_id").distinct().collect()]
-        if not pids:
-            folded.unpersist()
-            return 0
         tbl.upsert(folded, meta={"folded_iter": its[-1][0]}, affected_pids=pids)
         sched = state_schedule(
             folded,
