@@ -1032,15 +1032,19 @@ class FrontierEngine:
             )
         )
 
-    def requeue_due(self, due: DataFrame) -> int:
-        """Re-queue currently-CRAWLED rows at PER-ROW due times:
-        df(fingerprint, partition_id, crawl_at). The generic primitive under
-        every revisit policy — ``revisit_adaptive`` feeds it the estimator's
-        schedule, the crawl loop's backoff path feeds it doubled intervals
-        for unchanged pages. Rows whose page is not currently CRAWLED are
-        dropped (QUEUED pages keep the due time they were re-queued under).
-        O(due set): partition-pruned semi-join + narrow MERGE, never
-        O(table)."""
+    def requeue_due(self, due: DataFrame, from_state: str | None = None) -> int:
+        """Re-queue rows currently in ``from_state`` (default CRAWLED) at
+        PER-ROW due times: df(fingerprint, partition_id, crawl_at). The
+        generic primitive under every re-scheduling policy —
+        ``revisit_adaptive`` feeds it the estimator's schedule, the crawl
+        loop's backoff path feeds it doubled intervals for unchanged pages,
+        and the retry policy (core/retry.py) feeds it error-backoff dues
+        with ``from_state=STATE_ERROR``. Rows whose page is not currently in
+        ``from_state`` are dropped (QUEUED pages keep the due time they were
+        re-queued under). O(due set): partition-pruned semi-join + narrow
+        MERGE, never O(table)."""
+        if from_state is None:
+            from_state = STATE_CRAWLED
         src = (
             due.select(
                 "fingerprint",
@@ -1055,12 +1059,12 @@ class FrontierEngine:
         if not pids:
             src.unpersist()
             return 0
-        crawled = (
+        eligible = (
             self.table.read(with_marks=False)
-            .filter((F.col("state") == STATE_CRAWLED) & F.col("partition_id").isin(pids))
+            .filter((F.col("state") == from_state) & F.col("partition_id").isin(pids))
             .select("fingerprint")
         )
-        due = src.join(crawled, "fingerprint", "left_semi").cache()
+        due = src.join(eligible, "fingerprint", "left_semi").cache()
         pid_counts = due.groupBy("partition_id").count().collect()
         src.unpersist()
         if not pid_counts:

@@ -2749,6 +2749,85 @@ WHERE s.n_chg < 2
 SQL_REVISIT_FOLD = SQL_REVISIT_BACKOFF
 
 
+# ----------------------------- R5: transient-error retry policy (backoff)
+
+
+def q_retry_schedule(spark, sf_dir):
+    """The crawl loop's transient-error retry policy (core/retry.py — the
+    function CrawlLoop._retry_tick applies: bounded exponential backoff,
+    frontera analog strategy/__init__.py:~100-120 ``page_error`` re-
+    scheduling): over a deterministic synthetic error log (1 + doc_id % 4
+    errors per page at iterations base + j*step), fold the log through the
+    SAME incremental two-slice path the loop uses (fold_error_slice ⊕ both
+    halves), then emit each page's decision — ``retry`` with
+    due = (last_error + 2 * 2^min(n-1, 4)) s while n <= 3 errors,
+    ``give_up`` (NULL due) beyond. All integer math; the DuckDB oracle
+    recomputes the whole policy from the raw log in SQL, certifying the
+    fold's associativity end-to-end. One hash agg + a slice join per fold;
+    the schedule is a pure projection."""
+    from frontera_spark.core.retry import fold_error_slice, retry_schedule
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = 1 + F.col("doc_id") % 4
+    base = F.col("doc_id") % 5
+    step = 1 + F.col("doc_id") % 3
+    log = (
+        d.select(
+            F.col("doc_id").alias("page_id"),
+            (F.col("doc_id") % 4).cast("int").alias("partition_id"),
+            n.alias("_n"),
+            base.alias("_base"),
+            step.alias("_step"),
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("_j"),
+        )
+        .filter(F.col("_j") < F.col("_n"))
+        .select(
+            "page_id",
+            "partition_id",
+            F.col("_j").alias("_j"),
+            (F.col("_base") + F.col("_j") * F.col("_step")).cast("long").alias("it"),
+        )
+    )
+    kw = dict(page_col="page_id", it_col="it")
+    # two slices, split per-page on the attempt axis (each page's its are
+    # strictly increasing in _j, honoring the strictly-newer fold contract)
+    st1 = fold_error_slice(None, log.filter(F.col("_j") < 2).drop("_j"), **kw)
+    st2 = fold_error_slice(st1, log.filter(F.col("_j") >= 2).drop("_j"), **kw)
+    merged = st2.unionByName(
+        st1.join(st2.select("fingerprint"), "fingerprint", "left_anti")
+    )
+    return retry_schedule(
+        merged,
+        max_retries=3,
+        base_interval_s=2,
+        max_backoff_exp=4,
+        page_col="page_id",
+    )
+
+
+SQL_RETRY_SCHEDULE = """
+WITH p AS (
+  SELECT doc_id AS page_id, 1 + doc_id % 4 AS n,
+         doc_id % 5 AS base, 1 + doc_id % 3 AS step
+  FROM documents
+),
+log AS (
+  SELECT page_id, base + t.j * step AS it
+  FROM p, UNNEST([0, 1, 2, 3]) AS t(j) WHERE t.j < n
+),
+st AS (
+  SELECT page_id, COUNT(*) AS n_errors, MAX(it) AS last_it
+  FROM log GROUP BY page_id
+)
+SELECT page_id, CAST(n_errors AS BIGINT) AS n_errors,
+       CASE WHEN n_errors <= 3 THEN 'retry' ELSE 'give_up' END AS action,
+       CASE WHEN n_errors <= 3
+            THEN CAST((last_it + 2 * (1 << LEAST(GREATEST(n_errors - 1, 0), 4)))
+                      * 1000000 AS BIGINT) END AS due_us
+FROM st
+"""
+
+
 # -------------------------------- R5: sitemap-index resolution (one level)
 
 
@@ -2829,14 +2908,16 @@ FROM d
 # INTO the cap, displacing eight long-stable projections that are driver-
 # green in ALL of r1–r4 (tokenset/minhash/simhash signatures, token_stats,
 # quality_score, langid_heuristic, ngram_jaccard_pairs, knn_join). The
-# three NEW round-5 entries (revisit_backoff — the loop tick's full
+# four NEW round-5 entries (revisit_backoff — the loop tick's full
 # adaptive + exponential-backoff policy; revisit_fold — the SAME policy via
 # the incremental two-slice fold, certifying fold associativity against
 # the full-log SQL; sitemap_index_seeds — one-level sitemap-index
-# resolution) also enter the cap, displacing embed_topk, exact_dup_groups
-# and doc_fingerprint (driver-green r1–r4). After this round every registry
-# entry has at least one green driver row on record; the per-round map
-# lives in COVERAGE.md.
+# resolution; retry_schedule — the transient-error bounded-backoff policy,
+# folded through the same two-slice path the loop's retry tick uses) also
+# enter the cap, displacing embed_topk, exact_dup_groups, doc_fingerprint
+# and lsh_bucket_topk (each driver-green r1–r4). After this round every
+# registry entry has at least one green driver row on record; the per-round
+# map lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -2858,13 +2939,13 @@ QUERIES = {
     "revisit_fold": (q_revisit_fold, SQL_REVISIT_FOLD),
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "sitemap_index_seeds": (q_sitemap_index_seeds, SQL_SITEMAP_INDEX_SEEDS),
+    "retry_schedule": (q_retry_schedule, SQL_RETRY_SCHEDULE),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
-    "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
@@ -2893,6 +2974,7 @@ QUERIES = {
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
+    "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "tokenset_signature": (q_tokenset_signature, SQL_TOKENSET_SIGNATURE),

@@ -190,6 +190,8 @@ class CrawlLoop:
         trap_guard: dict | None = None,
         revisit: dict | None = None,
         dynamic_hosts: dict | None = None,
+        retry: dict | None = None,
+        flaky_hosts: dict | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -239,6 +241,27 @@ class CrawlLoop:
         # standing in for the body checksum a real crawler would record.
         self.dynamic_hosts = dict(dynamic_hosts or {})
         self.fetchlog_dir = os.path.join(workdir, "fetchlog")
+        # transient-error retry (core/retry.py): {"max_retries": n give-up
+        # bound, "base_interval_s": backoff base on the crawl clock,
+        # "max_backoff_exp": exponent cap, "every": k iterations between
+        # ticks}. Error slices land in errorlog/iter=<i>/ and fold into a
+        # per-page state table behind a committed high-water mark — the
+        # same crash-consistent shape as the revisit fold.
+        if retry is not None:
+            retry = dict(retry)
+            retry["every"] = max(1, int(retry.get("every", 1)))
+            retry.setdefault("max_retries", 3)
+            retry.setdefault("base_interval_s", 2)
+            retry.setdefault("max_backoff_exp", 16)
+        self.retry_cfg = retry
+        self._retry_state = None  # lazy SnapshotTable
+        # failure simulator: host -> k. A page on a flaky host FAILS its
+        # first k fetch attempts (attempt number = folded error count + 1)
+        # — the deterministic stand-in for timeouts/5xx. A real deployment
+        # replaces this with the fetcher's retryable-status signal; the
+        # retry policy itself is simulator-independent.
+        self.flaky_hosts = dict(flaky_hosts or {})
+        self.errorlog_dir = os.path.join(workdir, "errorlog")
         self.engine = FrontierEngine(
             spark,
             workdir,
@@ -464,6 +487,147 @@ class CrawlLoop:
             states.append(STATE_CRAWLED)
         return not self.engine.table.read().filter(F.col("state").isin(states)).isEmpty()
 
+    # --------------------------------------------------------------- retry
+
+    def _retry_state_table(self):
+        """Lazy per-page retry-state SnapshotTable (RETRY_STATE_DDL), keyed
+        like the frontier, fold high-water in its manifest meta — the same
+        resume contract as the revisit state: replayed iterations rewrite
+        their errorlog dir with deterministic identical content, so skipping
+        already-folded ones is safe."""
+        if self._retry_state is None:
+            from frontera_spark.core.retry import RETRY_STATE_DDL
+            from frontera_spark.plans.snapshot import SnapshotTable
+
+            path = os.path.join(self.workdir, "retry_state")
+            if os.path.exists(os.path.join(path, "CURRENT")):
+                self._retry_state = SnapshotTable.load(self.spark, path)
+            else:
+                self._retry_state = SnapshotTable.create(
+                    self.spark, path, RETRY_STATE_DDL, key=["fingerprint"]
+                )
+        return self._retry_state
+
+    def _append_error_log(self, iteration: int, errored: DataFrame) -> None:
+        """(fingerprint, partition_id, iteration) per errored page, written
+        into errorlog/iter=<i>/ with overwrite semantics (one copy after a
+        replay). O(errors-this-iteration) rows."""
+        (
+            errored.select(
+                "fingerprint",
+                "partition_id",
+                F.lit(iteration).alias("iteration"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.errorlog_dir, f"iter={iteration}"))
+        )
+
+    def _retry_tick(self) -> int:
+        """Fold error-log slices newer than the committed high-water mark
+        into the per-page retry state, then re-queue every page the policy
+        still allows (core/retry.py retry_schedule) at its exponential-
+        backoff due time — ``requeue_due(from_state=STATE_ERROR)`` flips
+        retryable ERROR rows back to QUEUED. Pages past ``max_retries``
+        stay ERROR for good. O(new errors) per tick: one hash agg over the
+        slice, a partition-pruned state join, two partition-pruned MERGEs.
+        """
+        import glob as _glob
+
+        from frontera_spark import STATE_ERROR
+        from frontera_spark.core.retry import fold_error_slice, retry_schedule
+
+        tbl = self._retry_state_table()
+        hw = int(tbl.manifest().get("meta", {}).get("folded_iter", -1))
+        its = sorted(
+            (int(d.rsplit("=", 1)[1]), d)
+            for d in _glob.glob(os.path.join(self.errorlog_dir, "iter=*"))
+            if int(d.rsplit("=", 1)[1]) > hw
+        )
+        if not its:
+            return 0
+        err_slice = self.spark.read.parquet(*[d for _, d in its])
+        pids = [
+            r["partition_id"]
+            for r in err_slice.select("partition_id").distinct().collect()
+        ]
+        if not pids:
+            return 0
+        state_sub = (
+            tbl.read(with_marks=False)
+            .filter(F.col("partition_id").isin(pids))
+            .join(
+                F.broadcast(err_slice.select("fingerprint").distinct()),
+                "fingerprint",
+                "left_semi",
+            )
+        )
+        folded = fold_error_slice(state_sub, err_slice).cache()
+        tbl.upsert(folded, meta={"folded_iter": its[-1][0]}, affected_pids=pids)
+        cfg = self.retry_cfg
+        sched = retry_schedule(
+            folded,
+            max_retries=cfg["max_retries"],
+            base_interval_s=cfg["base_interval_s"],
+            max_backoff_exp=cfg["max_backoff_exp"],
+        )
+        due = (
+            sched.filter(F.col("action") == "retry")
+            .join(folded.select("fingerprint", "partition_id"), "fingerprint")
+            .select(
+                "fingerprint",
+                "partition_id",
+                F.timestamp_micros(F.col("due_us")).alias("crawl_at"),
+            )
+        )
+        n = self.engine.requeue_due(due, from_state=STATE_ERROR)
+        folded.unpersist()
+        return n
+
+    def _retry_pending(self) -> bool:
+        """True while a future tick can still produce work: un-folded error
+        slices remain, or any QUEUED row exists (a retried page due later
+        on the clock). give_up pages are ERROR — never pending."""
+        import glob as _glob
+
+        tbl = self._retry_state_table()
+        hw = int(tbl.manifest().get("meta", {}).get("folded_iter", -1))
+        if any(
+            int(d.rsplit("=", 1)[1]) > hw
+            for d in _glob.glob(os.path.join(self.errorlog_dir, "iter=*"))
+        ):
+            return True
+        return not (
+            self.engine.table.read()
+            .filter(F.col("state") == STATE_QUEUED)
+            .isEmpty()
+        )
+
+    def _drop_flaky_failures(self, results: DataFrame, pids: list) -> DataFrame:
+        """Apply the transient-failure simulator: drop results rows whose
+        page is on a flaky host with fewer prior errors than its configured
+        failure count. Dropped rows fall out of the results frame, so the
+        existing popped−fetched arithmetic counts them as errors and the
+        fused ingest marks them STATE_ERROR — exactly the 404 path, except
+        the retry tick later re-queues them."""
+        k_map = F.create_map(
+            *[F.lit(x) for kv in self.flaky_hosts.items() for x in kv]
+        )
+        prior = F.lit(0).cast("long")
+        if self.retry_cfg is not None:
+            st = (
+                self._retry_state_table()
+                .read(with_marks=False)
+                .filter(F.col("partition_id").isin(pids))
+                .select("fingerprint", "n_errors")
+            )
+            results = results.join(F.broadcast(st), "fingerprint", "left")
+            prior = F.coalesce(F.col("n_errors"), F.lit(0).cast("long"))
+        k = k_map[F.col("host")]
+        fail = k.isNotNull() & (prior < k)
+        out = results.filter(~fail)
+        return out.drop("n_errors") if "n_errors" in out.columns else out
+
     def add_seeds(self, urls: list[str]) -> int:
         seeds = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(urls)], "url string, seq int"
@@ -507,7 +671,10 @@ class CrawlLoop:
 
         results = fetch_stage(
             feed, self.corpus, self.corpus_seed, self.check_invariant
-        ).cache()
+        )
+        if self.flaky_hosts:
+            results = self._drop_flaky_failures(results, sorted(popped_by_pid))
+        results = results.cache()
 
         # per-partition lineage counters (BASELINE north_rule: checkpointed
         # resume **with per-partition lineage and counters**) — this collect
@@ -548,6 +715,8 @@ class CrawlLoop:
             if n_err
             else None
         )
+        if self.retry_cfg is not None and missing is not None:
+            self._append_error_log(iteration, missing)
         # every popped row transitions (CRAWLED or ERROR) — the update
         # partitions are exactly the popped ones
         upd_pids = sorted(popped_by_pid)
@@ -668,6 +837,12 @@ class CrawlLoop:
                 and self.engine.iteration % self.revisit_cfg["every"] == 0
             ):
                 self._revisit_tick()
+            if (
+                self.retry_cfg is not None
+                and self.engine.iteration
+                and self.engine.iteration % self.retry_cfg["every"] == 0
+            ):
+                self._retry_tick()
             m = self.run_iteration()
             if verbose:
                 print(m)
@@ -682,6 +857,12 @@ class CrawlLoop:
                 # possible (bounded by max_iterations: revisiting crawls
                 # have no natural exhaustion)
                 if self.revisit_cfg is not None and self._revisit_pending():
+                    continue
+                # with retries an empty tick may mean "errored pages due
+                # later on the backoff clock" — keep ticking while un-folded
+                # error slices or re-queued rows remain (give_up pages are
+                # terminal ERROR, so a retrying crawl still exhausts)
+                if self.retry_cfg is not None and self._retry_pending():
                     continue
                 break
             history.append(m)
