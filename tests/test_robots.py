@@ -135,3 +135,158 @@ def test_middleware_matches_canonical_path(spark, tmp_path):
     assert n == 1
     urls = {r["canonical_url"] for r in eng.table.read().collect()}
     assert urls == {"https://h1.example.test/ok"}
+
+
+# ---------------- RFC 9309 §2.2.3 special characters (*, trailing $) -------
+
+
+def test_pattern_regex_compilation():
+    from frontera_spark.core.robots import pattern_regex
+
+    assert pattern_regex("/plain") is None  # prefix fast path
+    assert pattern_regex("/fish*") == "^/fish.*"
+    assert pattern_regex("/*.php$") == r"^/.*\.php$"
+    assert pattern_regex("/a$b") is None  # mid-pattern $ is a literal octet
+    assert pattern_regex("/a$b*") == r"^/a\$b.*"
+    assert pattern_regex("*") == "^.*"
+
+
+def test_with_allowed_wildcards(spark):
+    """Golden cases lifted from the RFC 9309 / Google robots documentation:
+    '*' spans any run, trailing '$' anchors, precedence = pattern octets."""
+    rules = rules_df(
+        spark,
+        {
+            "a.test": (
+                "User-agent: *\n"
+                "Disallow: /*.php$\n"      # deny .php pages (len 8)
+                "Allow: /public*.php$\n"   # carve-out (len 14 > 8)
+                "Disallow: /fish*\n"       # deny the fish subtree (len 6)
+            )
+        },
+    )
+    links = spark.createDataFrame(
+        [
+            ("https://a.test/index.php", "a.test"),
+            ("https://a.test/index.php?x=1", "a.test"),  # $ must NOT match
+            ("https://a.test/public_x.php", "a.test"),   # longer Allow wins
+            ("https://a.test/fishheads/y", "a.test"),
+            ("https://a.test/fis", "a.test"),
+            ("https://a.test/other", "a.test"),
+        ],
+        "url string, host string",
+    )
+    out = {r["url"]: r["allowed"] for r in with_allowed(links, rules).collect()}
+    assert out == {
+        "https://a.test/index.php": False,
+        "https://a.test/index.php?x=1": True,
+        "https://a.test/public_x.php": True,
+        "https://a.test/fishheads/y": False,
+        "https://a.test/fis": True,
+        "https://a.test/other": True,
+    }
+
+
+def test_with_allowed_query_matching(spark):
+    """Rules match path-and-query: a query-carrying Disallow is honored and
+    plain prefixes still hit query-carrying URLs."""
+    rules = rules_df(
+        spark,
+        {"a.test": "User-agent: *\nDisallow: /search?q=\nDisallow: /d/1\n"},
+    )
+    links = spark.createDataFrame(
+        [
+            ("https://a.test/search?q=x", "a.test"),
+            ("https://a.test/search", "a.test"),
+            ("https://a.test/d/1?page=2", "a.test"),
+        ],
+        "url string, host string",
+    )
+    out = {r["url"]: r["allowed"] for r in with_allowed(links, rules).collect()}
+    assert out == {
+        "https://a.test/search?q=x": False,
+        "https://a.test/search": True,
+        "https://a.test/d/1?page=2": False,
+    }
+
+
+# ---------------- Crawl-delay → politeness policies ------------------------
+
+
+def test_parse_robots_crawl_delay():
+    from frontera_spark.core.robots import parse_robots
+
+    rules, delay = parse_robots(
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2.5\n"
+    )
+    assert rules == [("deny", "/private/")]
+    assert delay == 2.5
+    # non-star group's delay is ignored; invalid / negative values skipped
+    assert parse_robots("User-agent: bad\nCrawl-delay: 9\n")[1] is None
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\n")[1] is None
+    assert parse_robots("User-agent: *\nCrawl-delay: -1\n")[1] is None
+
+
+def test_is_full_ban():
+    from frontera_spark.core.robots import is_full_ban, parse_robots_txt
+
+    assert is_full_ban(parse_robots_txt("User-agent: *\nDisallow: /\n"))
+    assert not is_full_ban(
+        parse_robots_txt("User-agent: *\nDisallow: /\nAllow: /ok\n")
+    )
+    assert not is_full_ban(parse_robots_txt("User-agent: *\nDisallow: /x\n"))
+
+
+def test_policies_from_robots(spark):
+    from frontera_spark.core.robots import policies_from_robots
+
+    pol = policies_from_robots(
+        spark,
+        {
+            "fast.test": "User-agent: *\nCrawl-delay: 1\n",
+            "slow.test": "User-agent: *\nCrawl-delay: 4\nDisallow: /tmp\n",
+            "banned.test": "User-agent: *\nDisallow: /\n",
+            "plain.test": "",
+        },
+        default_delay_s=2.0,
+    )
+    rows = {r["host"]: r for r in pol.collect()}
+    assert rows["fast.test"]["delay_s"] == 1.0 and rows["fast.test"]["robots_allow"]
+    assert rows["slow.test"]["delay_s"] == 4.0 and rows["slow.test"]["robots_allow"]
+    assert rows["banned.test"]["robots_allow"] is False
+    assert rows["plain.test"]["delay_s"] == 2.0
+    assert all(r["budget"] is None for r in rows.values())
+
+
+def test_crawl_delay_throttles_scheduler(spark, tmp_path):
+    """End-to-end: Crawl-delay from robots.txt drives the politeness token
+    bucket — over the same clock window the delay-4 host yields ~1/4 the
+    fetches of the delay-1 host (equal queue depth, token_cap=1)."""
+    from frontera_spark.core.frontier import FrontierEngine
+    from frontera_spark.core.politeness import DomainMetadata, PoliteScheduler
+    from frontera_spark.core.robots import policies_from_robots
+
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2)
+    seeds = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("fast.test", "slow.test") for i in range(12)],
+        "url string",
+    )
+    assert eng.add_seeds(seeds) == 24
+    dom = DomainMetadata(spark, str(tmp_path / "eng"), n_partitions=2, token_cap=1.0)
+    dom.set_policies(
+        policies_from_robots(
+            spark,
+            {
+                "fast.test": "User-agent: *\nCrawl-delay: 1\n",
+                "slow.test": "User-agent: *\nCrawl-delay: 4\n",
+            },
+        )
+    )
+    sched = PoliteScheduler(eng, dom, batch_period=1.0, token_cap=1.0)
+    fetched = {"fast.test": 0, "slow.test": 0}
+    for _ in range(8):  # 8 seconds of crawl clock
+        batch = sched.pop(max_n=24)
+        for r in batch.select("host").collect():
+            fetched[r["host"]] += 1
+    assert fetched["fast.test"] == 8  # one per second
+    assert fetched["slow.test"] == 2  # one per 4 seconds
