@@ -1443,14 +1443,20 @@ WHERE rn <= 100
 def q_robots_filter(spark, sf_dir):
     """Robots gating (north rule; frontera delegates to scrapy's
     RobotsTxtMiddleware — here rules run inside the scheduler): every third
-    host publishes 'Disallow: /d/1, Allow: /d/12'; longest-prefix
-    precedence with Allow winning ties (RFC 9309). Exercises
-    core/robots.parse_robots_txt → rules_df → with_allowed end-to-end;
-    the rule table is broadcast, the link stream never shuffles."""
+    host publishes plain-prefix rules ('Disallow: /d/1, Allow: /d/12') AND
+    RFC 9309 §2.2.3 wildcard rules ('Disallow: /d/*7$' denies every path
+    ending in 7, 'Allow: /d/4*7$' carves the 4…7 block back out); longest-
+    PATTERN precedence with Allow winning ties (§2.2.2). Exercises
+    core/robots.parse_robots_txt → rules_df → with_allowed end-to-end,
+    including the per-rule pre-compiled anchored-regex path; the rule table
+    is broadcast, the link stream never shuffles."""
     from frontera_spark.core.robots import rules_df, with_allowed
 
     robots = {
-        f"h{h}.example.test": "User-agent: *\nDisallow: /d/1\nAllow: /d/12\n"
+        f"h{h}.example.test": (
+            "User-agent: *\nDisallow: /d/1\nAllow: /d/12\n"
+            "Disallow: /d/*7$\nAllow: /d/4*7$\n"
+        )
         for h in range(0, 31, 3)
     }
     links = _t(spark, sf_dir, "documents").select(
@@ -1464,13 +1470,22 @@ SQL_ROBOTS_FILTER = f"""
 WITH links AS (SELECT doc_id, {_URL_SQL} AS url, {_HOST_SQL} AS host,
                       '/d/' || CAST(doc_id AS VARCHAR) AS path FROM documents),
 rules AS (
-  SELECT 'h' || CAST(h.range AS VARCHAR) || '.example.test' AS host, r.rule, r.prefix
-  FROM range(0, 31, 3) h, (VALUES ('deny', '/d/1'), ('allow', '/d/12')) r(rule, prefix)),
+  -- prefix = the RAW pattern (its octet length is the precedence key);
+  -- wildcard rules carry the same anchored regex core/robots.pattern_regex
+  -- pre-compiles ('*' -> '.*', trailing '$' -> end anchor)
+  SELECT 'h' || CAST(h.range AS VARCHAR) || '.example.test' AS host,
+         r.rule, r.prefix, r.pattern_re
+  FROM range(0, 31, 3) h,
+       (VALUES ('deny', '/d/1', NULL), ('allow', '/d/12', NULL),
+               ('deny', '/d/*7$', '^/d/.*7$'),
+               ('allow', '/d/4*7$', '^/d/4.*7$')) r(rule, prefix, pattern_re)),
 best AS (
   SELECT l.doc_id,
          arg_max(r.rule, lpad(CAST(len(r.prefix) AS VARCHAR), 4, '0') ||
                          CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END) AS best_rule
-  FROM links l JOIN rules r ON l.host = r.host AND starts_with(l.path, r.prefix)
+  FROM links l JOIN rules r ON l.host = r.host AND
+       CASE WHEN r.pattern_re IS NOT NULL THEN regexp_matches(l.path, r.pattern_re)
+            ELSE starts_with(l.path, r.prefix) END
   GROUP BY l.doc_id)
 SELECT l.doc_id, l.url, COALESCE(b.best_rule <> 'deny', TRUE) AS allowed
 FROM links l LEFT JOIN best b ON l.doc_id = b.doc_id

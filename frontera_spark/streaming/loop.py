@@ -184,6 +184,7 @@ class CrawlLoop:
         max_pending: int | None = None,
         strategy_obj=None,
         middlewares: list | None = None,
+        robots_txt: dict[str, str] | None = None,
         canonical_solver: str = "basic",
         use_seen_shards: bool = False,
         shard_capacity: int = 1 << 20,
@@ -262,6 +263,30 @@ class CrawlLoop:
         # retry policy itself is simulator-independent.
         self.flaky_hosts = dict(flaky_hosts or {})
         self.errorlog_dir = os.path.join(workdir, "errorlog")
+        # robots_txt: {host: robots.txt body} — ONE knob that derives the
+        # whole robots stack (frontera analog: scrapy's RobotsTxtMiddleware
+        # + DOWNLOAD_DELAY, per-process crawler settings; here both live in
+        # the scheduler so every partition enforces them):
+        #   - path gating: parsed rules (RFC 9309 prefixes + */$ wildcards)
+        #     become a robots_middleware on the schedule path, so denied
+        #     links never enter the frontier;
+        #   - politeness: each group's Crawl-delay becomes the host's
+        #     token-bucket refill interval and bare full bans pre-mark the
+        #     host SKIPPED_ROBOTS (policies_from_robots), turning on the
+        #     PoliteScheduler unless an explicit `politeness` frame already
+        #     carries hand-tuned policies (explicit wins; the middleware
+        #     still gates paths either way).
+        if robots_txt is not None:
+            from frontera_spark.core.robots import (
+                policies_from_robots,
+                robots_middleware,
+                rules_df,
+            )
+
+            middlewares = list(middlewares or [])
+            middlewares.append(robots_middleware(rules_df(spark, robots_txt)))
+            if politeness is None:
+                politeness = policies_from_robots(spark, robots_txt)
         self.engine = FrontierEngine(
             spark,
             workdir,

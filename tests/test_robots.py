@@ -290,3 +290,52 @@ def test_crawl_delay_throttles_scheduler(spark, tmp_path):
             fetched[r["host"]] += 1
     assert fetched["fast.test"] == 8  # one per second
     assert fetched["slow.test"] == 2  # one per 4 seconds
+
+
+def test_crawlloop_robots_txt_single_knob(spark, tmp_path):
+    """CrawlLoop(robots_txt={host: body}) derives the whole robots stack
+    from raw robots.txt bodies: a full-ban host is never fetched, an RFC
+    9309 wildcard Disallow gates matching paths at schedule time, and the
+    remaining hosts crawl to exhaustion under the polite scheduler the
+    knob turns on."""
+    from frontera_spark import STATE_CRAWLED
+    from frontera_spark.sources.corpus import url_of, write_corpus
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    n_images, n_hosts = 40, 7
+    corpus = str(tmp_path / "corpus")
+    write_corpus(spark, corpus, n_images, n_hosts, 42)
+    hosts = [f"h{h:03d}.example.test" for h in range(n_hosts)]
+    robots = {h: "User-agent: *\nCrawl-delay: 0\n" for h in hosts}
+    robots[hosts[1]] = "User-agent: *\nDisallow: /\n"  # bare full ban
+    robots[hosts[2]] = "User-agent: *\nDisallow: /i/*7$\n"  # wildcard deny
+
+    loop = CrawlLoop(
+        spark,
+        str(tmp_path / "eng"),
+        corpus,
+        corpus_seed=42,
+        strategy="bfs",
+        batch_size=16,
+        n_partitions=1,
+        mode="global",
+        robots_txt=robots,
+    )
+    assert loop.scheduler is not None  # the knob turned politeness on
+    loop.add_seeds([url_of(0, n_hosts)])
+    hist = loop.run(max_iterations=40)
+
+    crawled = {
+        r["canonical_url"]
+        for r in loop.engine.table.read()
+        .filter(F.col("state") == STATE_CRAWLED)
+        .collect()
+    }
+    assert len(crawled) > 10  # the allowed part of the graph was crawled
+    assert sum(m["invariant_violations"] for m in hist) == 0
+    assert not {u for u in crawled if hosts[1] in u}  # full ban held
+    denied = {u for u in crawled if hosts[2] in u and u.endswith("7")}
+    assert not denied  # wildcard '$'-anchored deny held
+    # the wildcard rule only denied its pattern: host 2 URLs NOT ending in
+    # 7 were still fetched (the rule is path-level, not a host ban)
+    assert {u for u in crawled if hosts[2] in u}
