@@ -594,6 +594,40 @@ class FrontierEngine:
         seeds = resolve_index(indexes, documents, xml_col=xml_col, url_col=url_col)
         return self._finalize(self._prepare(seeds))
 
+    def add_seeds_robots(
+        self,
+        robots_by_host: dict[str, str],
+        documents: DataFrame,
+        xml_col: str = "sitemap_xml",
+        url_col: str = "url",
+    ) -> int:
+        """S1 seed loader, robots edition: bootstrap the frontier from the
+        ``Sitemap:`` directives robots.txt files advertise (the sitemaps.org
+        robots.txt protocol — how real crawls discover a host's sitemaps
+        without guessing paths). ``robots_by_host`` holds fetched robots.txt
+        bodies; ``documents(url_col, xml_col)`` holds fetched sitemap
+        documents. The advertised URL set is hosts-sized — broadcast it onto
+        the document table; advertised sitemaps with no document row are
+        skipped (their fetch failed), and every resolved ``<loc>`` URL runs
+        the normal seed path (canonicalize → fingerprint → seen anti-join →
+        MERGE). Index files advertised here resolve via
+        ``add_seeds_sitemap_index`` on the same document table."""
+        from frontera_spark.core.robots import parse_sitemap_urls
+
+        advertised = [
+            u for text in robots_by_host.values() for u in parse_sitemap_urls(text)
+        ]
+        if not advertised:
+            return 0
+        adv = self.spark.createDataFrame(
+            [(u,) for u in dict.fromkeys(advertised)], f"{url_col} string"
+        )
+        # keep only the XML body: extract_locs emits its own `url` column,
+        # which would collide with the sitemap document's address column
+        return self.add_seeds_sitemaps(
+            documents.join(F.broadcast(adv), url_col).select(xml_col), xml_col
+        )
+
     def add_seeds_file(self, path: str) -> int:
         """Bulk seed load; line order = discovery order. The order key is
         ``monotonically_increasing_id()`` used AS a key (split index in the

@@ -84,6 +84,26 @@ def parse_robots_txt(text: str) -> list[tuple[str, str]]:
     return parse_robots(text)[0]
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directive values, in file order.
+
+    Per the sitemaps.org robots.txt protocol (and RFC 9309 §2.2.4 "other
+    records"), the field is group-INDEPENDENT — it applies regardless of
+    surrounding ``User-agent`` groups — so extraction ignores group state
+    entirely. Real crawls bootstrap here: fetch /robots.txt, follow the
+    advertised sitemaps, seed the frontier from their ``<loc>`` sets
+    (``FrontierEngine.add_seeds_robots`` wires the chain)."""
+    urls: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            urls.append(value.strip())
+    return urls
+
+
 def pattern_regex(pattern: str) -> str | None:
     """RFC 9309 §2.2.3 pattern → anchored regex, or None for plain prefixes.
 

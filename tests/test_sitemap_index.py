@@ -80,3 +80,56 @@ def test_sitemap_index_two_levels_via_second_call(spark, tmp_path):
     assert eng.add_seeds_sitemap_index(mid, docs) == 2
     got = {r.canonical_url for r in eng.table.read().collect()}
     assert got == {f"{H}/deep1", f"{H}/deep2"}
+
+
+# --------------- robots.txt 'Sitemap:' directive bootstrap -----------------
+
+
+def test_parse_sitemap_urls():
+    from frontera_spark.core.robots import parse_sitemap_urls
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Sitemap: https://a.test/sitemap.xml\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "sitemap: https://a.test/sm2.xml  # trailing comment\n"
+        "Sitemap:\n"  # empty value: skipped
+    )
+    # group-independent: both directives apply regardless of agent groups
+    assert parse_sitemap_urls(txt) == [
+        "https://a.test/sitemap.xml",
+        "https://a.test/sm2.xml",
+    ]
+    assert parse_sitemap_urls("User-agent: *\nDisallow: /\n") == []
+
+
+def test_add_seeds_robots_sitemap_directives(spark, tmp_path):
+    """Frontier bootstrap from robots.txt: advertised sitemaps resolve
+    against the fetched document table; un-advertised and un-fetched
+    sitemaps are skipped; dedup + deterministic order as any seed path."""
+    eng = FrontierEngine(spark, str(tmp_path / "eng"), n_partitions=2, strategy="bfs")
+    robots = {
+        "h0.example.test": (
+            f"User-agent: *\nDisallow: /private/\nSitemap: {S}/sm1.xml\n"
+        ),
+        "h1.example.test": f"Sitemap: {S}/sm2.xml\nSitemap: {S}/gone.xml\n",
+        "h2.example.test": "User-agent: *\nDisallow: /\n",  # no directive
+    }
+    docs = spark.createDataFrame(
+        [
+            (f"{S}/sm1.xml", _urlset(f"{H}/a1", f"{H}/shared")),
+            (f"{S}/sm2.xml", _urlset(f"{H}/b1", f"{H}/shared")),
+            # fetched but NOT advertised by any robots.txt: must not seed
+            (f"{S}/other.xml", _urlset(f"{H}/nope")),
+        ],
+        "url string, sitemap_xml string",
+    )
+    assert eng.add_seeds_robots(robots, docs) == 3  # a1, shared, b1 deduped
+    urls = {r.canonical_url for r in eng.table.read().collect()}
+    assert urls == {f"{H}/a1", f"{H}/shared", f"{H}/b1"}
+    # idempotent re-offer; empty directive set is a clean 0
+    assert eng.add_seeds_robots(robots, docs) == 0
+    assert eng.add_seeds_robots({"h9.test": "User-agent: *\n"}, docs) == 0
