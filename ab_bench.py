@@ -31,11 +31,20 @@ from frontera_spark.session import get_spark
 
 spark = get_spark("ab_bench_leg", master="local[%(cpus)d]")
 spark.range(10).count()  # JVM warm-up outside timed sections
+
+def _norm(r):
+    # r5 bench_* return (medians, per-rep arrays); older tags return a
+    # plain dict — normalize so the aggregator sees one shape either way
+    if isinstance(r, tuple) and len(r) == 2 and isinstance(r[0], dict):
+        med = dict(r[0]); med["_reps"] = r[1]
+        return med
+    return r
+
 out = {}
 with tempfile.TemporaryDirectory() as wd:
-    out["frontier"] = bench.bench_frontier(spark, wd)
+    out["frontier"] = _norm(bench.bench_frontier(spark, wd))
 with tempfile.TemporaryDirectory() as wd:
-    out["crawl"] = bench.bench_crawl(spark, wd)
+    out["crawl"] = _norm(bench.bench_crawl(spark, wd))
 print("ABRESULT " + json.dumps(out))
 spark.stop()
 """

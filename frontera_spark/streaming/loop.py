@@ -234,6 +234,15 @@ class CrawlLoop:
             mode = revisit.setdefault("mode", "incremental")
             if mode not in ("incremental", "full"):
                 raise ValueError(f"revisit mode {mode!r}")
+            # "conditional": True = conditional re-fetch (the HTTP 304 /
+            # If-None-Match analog): a popped page whose CURRENT content
+            # signature equals the revisit state's last seen one skips the
+            # payload path entirely — no bytes read, no decode, no link
+            # re-extraction — and still lands a fetch-log row (the
+            # estimator's non-change observation) + CRAWLED transition.
+            # Requires incremental mode (the state table holds last_sig).
+            if revisit.get("conditional") and mode != "incremental":
+                raise ValueError("conditional revisit requires incremental mode")
         self.revisit_cfg = revisit
         self._revisit_state = None  # lazy SnapshotTable (incremental mode)
         # simulator change model: host -> change period (iterations). A page
@@ -375,6 +384,58 @@ class CrawlLoop:
             .write.mode("overwrite")
             .parquet(os.path.join(self.fetchlog_dir, f"iter={iteration}"))
         )
+
+    def _conditional_split(self, feed: DataFrame, iteration: int, pids: list[int]):
+        """Conditional re-fetch split (HTTP 304 / If-None-Match analog).
+
+        A real crawler sends the validator it stored at the last fetch; the
+        server answers 304 for unchanged pages and the body is never
+        transferred. Here the revisit state table's ``last_sig`` is the
+        stored validator and the simulator's current content signature is
+        the server's answer, so the split is two narrow joins:
+
+        - probe: corpus(url, image_id) ⋈ broadcast(feed) — the ONLY corpus
+          columns read; the ``bytes`` column (the 100 TB term) never leaves
+          parquet for a not-modified row;
+        - verdict: state(fingerprint, last_sig) ⋈ broadcast(probe), state
+          scan pruned to the feed's partitions. cur == last ⇒ not modified.
+
+        Pages not in the state table (first fetch, or no fold tick yet) and
+        pages with no corpus row (404s) fall through to the full path —
+        the conditional leg can only ever SKIP work proven skippable.
+
+        Returns (feed_fetch, notmod, counts): the remaining full-fetch feed,
+        the cached not-modified frame (FEED_COLS + image_id; None if empty),
+        and its per-partition counts.
+        """
+        state = (
+            self._revisit_state_table()
+            .read()
+            .filter(F.col("partition_id").isin(pids))
+            .select("fingerprint", "last_sig")
+        )
+        probe = (
+            self.corpus.select(F.col("url").alias("canonical_url"), "image_id")
+            .join(F.broadcast(feed.select(*FEED_COLS)), "canonical_url", "inner")
+            .withColumn("_cur_sig", self._content_sig(iteration))
+        )
+        notmod = (
+            state.join(F.broadcast(probe), "fingerprint", "inner")
+            .filter(F.col("_cur_sig") == F.col("last_sig"))
+            .select(*FEED_COLS, "image_id")
+            .cache()
+        )
+        counts = {
+            r["partition_id"]: int(r["n"])
+            for r in notmod.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            notmod.unpersist()
+            return feed, None, {}
+        feed_fetch = feed.join(
+            F.broadcast(notmod.select("canonical_url")), "canonical_url", "left_anti"
+        )
+        return feed_fetch, notmod, counts
 
     def _revisit_tick(self) -> int:
         """Re-schedule recrawls from observed content changes.
@@ -694,8 +755,24 @@ class CrawlLoop:
             feed.unpersist()
             return {"iteration": iteration, "n_fetched": 0}
 
+        # conditional re-fetch (HTTP 304 analog): carve proven-unchanged
+        # revisits out of the payload path BEFORE the bytes-bearing join.
+        # Gated on the state table existing — before the first fold tick
+        # every pop takes the full path (the safe fallback).
+        feed_fetch, notmod, n_notmod_by_pid = feed, None, {}
+        if (
+            self.revisit_cfg is not None
+            and self.revisit_cfg.get("conditional")
+            and os.path.exists(
+                os.path.join(self.workdir, "revisit_state", "CURRENT")
+            )
+        ):
+            feed_fetch, notmod, n_notmod_by_pid = self._conditional_split(
+                feed, iteration, sorted(popped_by_pid)
+            )
+
         results = fetch_stage(
-            feed, self.corpus, self.corpus_seed, self.check_invariant
+            feed_fetch, self.corpus, self.corpus_seed, self.check_invariant
         )
         if self.flaky_hosts:
             results = self._drop_flaky_failures(results, sorted(popped_by_pid))
@@ -723,8 +800,16 @@ class CrawlLoop:
         # anti-join count job). The errored ROWS themselves are only built
         # (lazily, against the cached ≤batch-size results) when any exist.
         if self.revisit_cfg is not None:
-            self._append_fetch_log(iteration, results)
+            logged = results
+            if notmod is not None:
+                # not-modified rows land in the log too — the estimator's
+                # non-change observation; their sig recomputes to last_sig
+                cols = ["fingerprint", "partition_id", "host", "image_id"]
+                logged = results.select(*cols).unionByName(notmod.select(*cols))
+            self._append_fetch_log(iteration, logged)
         fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
+        for pid, n in n_notmod_by_pid.items():  # a 304 is a successful visit
+            fetched_by_pid[pid] = fetched_by_pid.get(pid, 0) + n
         err_by_pid = {
             pid: n - fetched_by_pid.get(pid, 0)
             for pid, n in popped_by_pid.items()
@@ -732,7 +817,7 @@ class CrawlLoop:
         }
         n_err = sum(err_by_pid.values())
         missing = (
-            feed.select(*FEED_COLS).join(
+            feed_fetch.select(*FEED_COLS).join(
                 F.broadcast(results.select("canonical_url")),
                 "canonical_url",
                 "left_anti",
@@ -756,11 +841,30 @@ class CrawlLoop:
                 else None
             ),
         )
+        crawled = results
+        if notmod is not None:
+            # 304 rows take the same CRAWLED transition in the same fused
+            # commit — ingest only reads the key columns from this frame
+            crawled = results.select("fingerprint", "partition_id", "jid").unionByName(
+                notmod.select("fingerprint", "partition_id", "jid")
+            )
         n_scheduled = self.engine.ingest_results(
-            results, missing, links, update_pids=upd_pids
+            crawled, missing, links, update_pids=upd_pids
         )
         t_sec = time.perf_counter() - t0
         base = [r.asDict() for r in mrows]
+        for pid, n in n_notmod_by_pid.items():  # visits with zero bytes moved
+            row = next((b for b in base if b["partition_id"] == pid), None)
+            if row is None:
+                base.append(
+                    {
+                        "partition_id": pid, "n_fetched": n, "n_links": 0,
+                        "bytes_fetched": 0, "psnr_min": None,
+                        "invariant_violations": 0,
+                    }
+                )
+            else:
+                row["n_fetched"] += n
         seen_pids = {r["partition_id"] for r in base}
         for pid, n in err_by_pid.items():  # partitions whose rows ALL 404'd
             if pid not in seen_pids:
@@ -789,7 +893,11 @@ class CrawlLoop:
             "invariant_violations": int(mpdf["invariant_violations"].sum()),
             "t_sec": round(t_sec, 3),
         }
+        if self.revisit_cfg is not None and self.revisit_cfg.get("conditional"):
+            agg["n_not_modified"] = sum(n_notmod_by_pid.values())
         results.unpersist()
+        if notmod is not None:
+            notmod.unpersist()
         feed.unpersist()
         return agg
 
