@@ -128,6 +128,51 @@ def run_fold_bench(spark, args) -> dict:
     return out
 
 
+def run_conditional_leg(spark, conditional: bool, corpus: str, seed: int, args) -> dict:
+    """One crawl-loop leg for the conditional re-fetch (HTTP 304) comparison:
+    incremental revisit over a mostly-static corpus (one dynamic host), with
+    the conditional split off/on. Decisions and fetch logs are identical
+    (pinned by tests/test_conditional_revisit.py); this measures the IO the
+    304 path removes — bytes through the payload join — plus wall time."""
+    from frontera_spark.sources.corpus import url_of
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    with tempfile.TemporaryDirectory() as wd:
+        loop = CrawlLoop(
+            spark,
+            wd,
+            corpus,
+            corpus_seed=seed,
+            strategy="bfs",
+            batch_size=args.batch,
+            n_partitions=8,
+            mode="global",
+            revisit={
+                "every": 2,
+                "bootstrap_after": 2,
+                "mode": "incremental",
+                "conditional": conditional,
+            },
+            dynamic_hosts={"h001.example.test": 2},
+        )
+        loop.add_seeds([url_of(0, args.hosts)])
+        t0 = time.perf_counter()
+        hist = loop.run(max_iterations=args.loop_iters)
+        dt = time.perf_counter() - t0
+        bad = sum(m.get("invariant_violations", 0) for m in hist)
+        if bad:
+            raise SystemExit(f"invariant violations (conditional={conditional}): {bad}")
+        fetched = sum(m.get("n_fetched", 0) for m in hist)
+        return {
+            "conditional": conditional,
+            "bytes_fetched": sum(m.get("bytes_fetched", 0) for m in hist),
+            "n_fetched": fetched,
+            "n_not_modified": sum(m.get("n_not_modified", 0) for m in hist),
+            "wall_sec": round(dt, 3),
+            "pages_per_sec": round(fetched / dt, 1),
+        }
+
+
 def run_loop_mode(spark, mode: str, corpus: str, seed: int, args) -> list[float]:
     from frontera_spark.sources.corpus import url_of
     from frontera_spark.streaming.loop import CrawlLoop
@@ -173,6 +218,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--loop", action="store_true", help="crawl-loop secondary bench")
+    ap.add_argument(
+        "--conditional",
+        action="store_true",
+        help="conditional re-fetch (HTTP 304) byte-savings comparison",
+    )
     ap.add_argument("--images", type=int, default=1500)
     ap.add_argument("--hosts", type=int, default=24)
     ap.add_argument("--loop-iters", type=int, default=24)
@@ -186,7 +236,23 @@ def main() -> None:
     spark.range(10).count()  # JVM warm-up outside timed sections
 
     out = {"pages": args.pages, "slice": args.slice, "reps": args.reps}
-    out["fold"] = run_fold_bench(spark, args)
+    if not args.conditional:
+        out["fold"] = run_fold_bench(spark, args)
+
+    if args.conditional:
+        from frontera_spark.sources.corpus import write_corpus
+
+        out["conditional"] = {"images": args.images, "iters": args.loop_iters}
+        with tempfile.TemporaryDirectory() as cd:
+            corpus = f"{cd}/corpus"
+            write_corpus(spark, corpus, args.images, args.hosts, args.seed)
+            for cond in (False, True):
+                leg = run_conditional_leg(spark, cond, corpus, args.seed, args)
+                out["conditional"]["cond" if cond else "full"] = leg
+        full, cond = out["conditional"]["full"], out["conditional"]["cond"]
+        out["conditional"]["bytes_saved_pct"] = round(
+            100 * (1 - cond["bytes_fetched"] / max(full["bytes_fetched"], 1)), 1
+        )
 
     if args.loop:
         from frontera_spark.sources.corpus import write_corpus
