@@ -2067,6 +2067,75 @@ SELECT * FROM (VALUES
 """
 
 
+# ----------------- R5: lossy-codec payload invariant (real baseline JPEG)
+
+
+def q_jpeg_invariant(spark, sf_dir):
+    """The input_hint's "PSNR>=40dB for lossy" invariant on a REAL lossy
+    codec: a corpus slice stored as baseline JPEG (pure-numpy ITU-T T.81
+    encoder/decoder, sources/jpeg.py — quality 100, 4:4:4, so DCT rounding
+    is the only loss) alongside the png/qpng rows. Decode is dispatched on
+    payload magic bytes (operators/multimodal.decode_image), NOT the fmt
+    metadata column — a crawl cannot trust a Content-Type header.
+
+    Oracle: the corpus is a pure function of (seed=42, idx<400,
+    jpeg_share=0.25); the per-fmt row counts are crc32-driven constants
+    (252 png / 96 jpeg / 52 qpng) and "every row passes PSNR + caption,
+    no lossy row is bit-exact" IS the invariant the oracle pins.
+
+    Scale shape: identical to q_payload_invariant — generate → decode →
+    check in one mapInPandas pass, no shuffle until the 3-group agg."""
+    import numpy as np
+    import pandas as pd
+
+    from frontera_spark.operators.multimodal import decode_image
+    from frontera_spark.sources.corpus import caption_of, generate_corpus, raw_pixels
+    from frontera_spark.sources.png import psnr
+
+    seed, n = 42, 400
+    corpus = generate_corpus(spark, n, seed=seed, jpeg_share=0.25)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for raw, image_id, caption, fmt in zip(
+                pdf["bytes"], pdf["image_id"], pdf["caption"], pdf["fmt"]
+            ):
+                idx = int(image_id[3:])
+                px = decode_image(bytes(raw))
+                ref = raw_pixels(seed, idx)
+                same_shape = px.shape == ref.shape
+                p = psnr(px, ref) if same_shape else 0.0
+                rows.append(
+                    {
+                        "fmt": fmt,
+                        "psnr_ok": bool(np.isinf(p) or p >= 40.0),
+                        "caption_ok": caption == caption_of(idx),
+                        "bitexact": bool(same_shape and np.array_equal(px, ref)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    checked = corpus.mapInPandas(
+        check, "fmt string, psnr_ok boolean, caption_ok boolean, bitexact boolean"
+    )
+    return checked.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("psnr_ok").cast("bigint")).alias("n_psnr_ok"),
+        F.sum(F.col("caption_ok").cast("bigint")).alias("n_caption_ok"),
+        F.sum(F.col("bitexact").cast("bigint")).alias("n_bitexact"),
+    )
+
+
+SQL_JPEG_INVARIANT = """
+SELECT * FROM (VALUES
+  ('jpeg', CAST(96 AS BIGINT),  CAST(96 AS BIGINT),  CAST(96 AS BIGINT),  CAST(0 AS BIGINT)),
+  ('png',  CAST(252 AS BIGINT), CAST(252 AS BIGINT), CAST(252 AS BIGINT), CAST(252 AS BIGINT)),
+  ('qpng', CAST(52 AS BIGINT),  CAST(52 AS BIGINT),  CAST(52 AS BIGINT),  CAST(0 AS BIGINT))
+) AS t(fmt, n_images, n_psnr_ok, n_caption_ok, n_bitexact)
+"""
+
+
 # ------------------------------------- event sessionization / rollups (new)
 
 
@@ -2930,9 +2999,13 @@ FROM d
 # resolution; retry_schedule — the transient-error bounded-backoff policy,
 # folded through the same two-slice path the loop's retry tick uses) also
 # enter the cap, displacing embed_topk, exact_dup_groups, doc_fingerprint
-# and lsh_bucket_topk (each driver-green r1–r4). After this round every
-# registry entry has at least one green driver row on record; the per-round
-# map lives in COVERAGE.md.
+# and lsh_bucket_topk (each driver-green r1–r4). Late round-5 addition:
+# jpeg_invariant (the input_hint's lossy-codec PSNR invariant on the real
+# pure-numpy baseline JPEG codec, sources/jpeg.py) enters the cap next to
+# payload_invariant, displacing ivf_cells (driver-green r3–r4; its scale
+# evidence — per-cell counts — stays pinned by the local gate and
+# test_round4_ops). After this round every registry entry has at least one
+# green driver row on record; the per-round map lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -2969,7 +3042,6 @@ QUERIES = {
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -2982,12 +3054,14 @@ QUERIES = {
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "fencing_filter": (q_fencing_filter, SQL_FENCING_FILTER),
     "payload_invariant": (q_payload_invariant, SQL_PAYLOAD_INVARIANT),
+    "jpeg_invariant": (q_jpeg_invariant, SQL_JPEG_INVARIANT),
     "snapshot_time_travel": (q_snapshot_time_travel, SQL_SNAPSHOT_TIME_TRAVEL),
     "snapshot_lineage": (q_snapshot_lineage, SQL_SNAPSHOT_LINEAGE),
     "seen_shard_keys": (q_seen_shard_keys, SQL_SEEN_SHARD_KEYS),
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),

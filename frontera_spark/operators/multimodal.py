@@ -12,13 +12,14 @@ Design for 100 TB of media:
 - Arrow batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   (session.py sets 2048) so a batch of 64 KB images stays ~128 MB.
 
-Real vs stubbed: PNG decode, block-mean resize, and perceptual hash are REAL
-(pure numpy+zlib — sources/png.py). General image codecs (JPEG/WebP), audio
-decode, and video demuxing need libraries this container does not ship
-(PIL/ffmpeg absent — SURVEY.md §7.3 M0), so those decoders are STUBS: the
-Spark-side plumbing (schemas, batch shapes, explode semantics, partitioning)
-is real and tested against deterministic fakes, and each stub raises
-``NotImplementedError`` for formats it cannot honestly fake.
+Real vs stubbed: PNG decode, baseline JPEG decode (pure-numpy ITU-T T.81
+codec — sources/jpeg.py), block-mean resize, perceptual hash, and RIFF/PCM
+WAV audio decode (sources/wav.py) are REAL. WebP and compressed audio/video
+codecs need libraries this container does not ship (PIL/ffmpeg absent —
+SURVEY.md §7.3 M0), so those decoders are STUBS: the Spark-side plumbing
+(schemas, batch shapes, explode semantics, partitioning) is real and tested
+against deterministic fakes, and each stub raises ``NotImplementedError``
+for formats it cannot honestly fake.
 """
 
 from __future__ import annotations
@@ -28,6 +29,26 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """bytes -> RGB uint8 (h, w, 3), dispatched on magic bytes (PNG
+    signature / JPEG SOI), not on the metadata ``fmt`` column — a crawl
+    cannot trust a Content-Type header. Raises NotImplementedError for
+    container formats with no in-sandbox codec (WebP/GIF/...)."""
+    from frontera_spark.sources.jpeg import decode_jpeg
+    from frontera_spark.sources.png import decode_png
+
+    if raw[:8] == _PNG_MAGIC:
+        return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return decode_jpeg(raw)
+    raise NotImplementedError(
+        "decode_image: no decoder for this payload in this container "
+        "(PIL/libvips absent); png/qpng/jpeg only"
+    )
 
 DECODE_STATS_SCHEMA = (
     "image_id string, w int, h int, fmt string, decoded_w int, decoded_h int, "
@@ -47,27 +68,25 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """bytes → decoded-pixel stats (REAL for png/qpng; other fmts raise).
+    """bytes → decoded-pixel stats (REAL for png/qpng/jpeg; other fmts raise).
 
     The per-row invariant pipeline's building block: decoded dimensions must
     match the metadata columns, mean luminance is the cheap content
     fingerprint downstream quality filters use."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from frontera_spark.sources.png import decode_png
-
         for pdf in batches:
             rows = []
             for iid, raw, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                if fmt not in ("png", "qpng"):
+                if fmt not in ("png", "qpng", "jpeg"):
                     raise NotImplementedError(
                         f"decode_images: no decoder for fmt={fmt!r} in this "
-                        "container (PIL/libvips absent); png/qpng only"
+                        "container (PIL/libvips absent); png/qpng/jpeg only"
                     )
                 try:
-                    px = decode_png(bytes(raw))
+                    px = decode_image(bytes(raw))
                     luma = float(px.astype(np.float64).mean())
                     rows.append((iid, w, h, fmt, px.shape[1], px.shape[0], luma, px.shape[2], True))
                 except Exception:
@@ -89,12 +108,12 @@ def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
     """Block-mean resize to (out_w, out_h), re-encoded PNG (REAL)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from frontera_spark.sources.png import decode_png, encode_png
+        from frontera_spark.sources.png import encode_png
 
         for pdf in batches:
             rows = []
             for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_png(bytes(raw))
+                px = decode_image(bytes(raw))
                 h, w = px.shape[:2]
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
@@ -113,12 +132,11 @@ def compute_phash(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from frontera_spark.sources.corpus import phash_of
-        from frontera_spark.sources.png import decode_png
 
         for pdf in batches:
             rows = []
             for iid, raw, stored in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
-                ph = phash_of(decode_png(bytes(raw)))
+                ph = phash_of(decode_image(bytes(raw)))
                 rows.append((iid, stored, ph, int(stored) == ph))
             yield pd.DataFrame(
                 rows, columns=["image_id", "phash", "phash_recomputed", "phash_match"]
@@ -138,12 +156,12 @@ def sample_video_frames(df: DataFrame, every_n: int = 2, n_frames: int = 6) -> D
     ``av``/``ffmpeg`` touches only the inner loop."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from frontera_spark.sources.png import decode_png, encode_png
+        from frontera_spark.sources.png import encode_png
 
         for pdf in batches:
             rows = []
             for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_png(bytes(raw))
+                px = decode_image(bytes(raw))
                 for k in range(0, n_frames, every_n):
                     frame = np.roll(px, shift=k, axis=0)
                     rows.append(
@@ -157,20 +175,28 @@ def sample_video_frames(df: DataFrame, every_n: int = 2, n_frames: int = 6) -> D
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """STUB (audio decode): byte-stream features with the real op shape.
+    """Audio features: REAL for RIFF/PCM WAV payloads (sources/wav.py),
+    byte-view fallback for everything else.
 
-    No audio library is available, so the payload bytes are treated as a
-    raw 8-bit mono signal — deterministic, and the feature set (RMS,
-    zero-crossing count, spectral centroid via rFFT) is the standard one a
-    real decoder would feed. Plumbing (schema, batching, pruning) is real;
-    replace the byte view with a real PCM decode to productionize."""
+    Payloads starting with the RIFF/WAVE magic are decoded to their actual
+    PCM signal (averaged to mono); other payloads are treated as a raw
+    8-bit mono signal — deterministic, and the feature set (RMS,
+    zero-crossing count, spectral centroid via rFFT) is the standard one
+    either way. Compressed audio (MP3/AAC) still needs ffmpeg — absent in
+    this container — and flows through the byte-view fallback."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.wav import decode_wav
+
         for pdf in batches:
             rows = []
             for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
-                sig = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
-                sig = (sig - 128.0) / 128.0
+                raw = bytes(raw)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    sig = decode_wav(raw)[0].mean(axis=1)
+                else:
+                    sig = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                    sig = (sig - 128.0) / 128.0
                 rms = float(np.sqrt((sig**2).mean())) if len(sig) else 0.0
                 zc = int(((sig[:-1] * sig[1:]) < 0).sum()) if len(sig) > 1 else 0
                 spec = np.abs(np.fft.rfft(sig))

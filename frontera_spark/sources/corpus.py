@@ -58,15 +58,25 @@ def size_of(idx: int) -> tuple[int, int]:
     return _SIZES[z % 3], _SIZES[(z >> 8) % 3]
 
 
-def fmt_of(idx: int) -> str:
+def fmt_of(idx: int, jpeg_share: float = 0.0) -> str:
     """80% lossless 'png' (bit-exact invariant), 20% 'qpng' (quantize-then-PNG,
-    the lossy path — PSNR >= 40 dB by construction: max error 1/channel)."""
+    lossy, PSNR >= 40 dB by construction: max error 1/channel). With
+    jpeg_share > 0, that fraction of rows (selected by an independent crc32
+    bucket, so the slice is stable as the share moves) is stored as REAL
+    baseline JPEG at quality 100 (sources/jpeg.py) — the genuinely lossy
+    codec path of the input_hint's "PSNR>=40dB for lossy" invariant.
+    Default 0.0 keeps every pre-round-5 fixture byte-identical."""
+    if jpeg_share > 0 and zlib.crc32(f"jpg{image_id_of(idx)}".encode()) % 100 < jpeg_share * 100:
+        return "jpeg"
     return "qpng" if zlib.crc32(image_id_of(idx).encode()) % 10 >= 8 else "png"
 
 
-def stored_pixels(seed: int, idx: int) -> np.ndarray:
+def stored_pixels(seed: int, idx: int, jpeg_share: float = 0.0) -> np.ndarray:
+    """Pixels the stored payload decodes to — EXCEPT for 'jpeg' rows, where
+    the return is the pre-compression reference (DCT rounding makes the
+    decoded pixels non-bit-exact; the invariant is PSNR, not equality)."""
     px = raw_pixels(seed, idx)
-    if fmt_of(idx) == "qpng":
+    if fmt_of(idx, jpeg_share) == "qpng":
         px = ((px.astype(np.int16) // 2) * 2).astype(np.uint8)  # quantize step 2
     return px
 
@@ -122,16 +132,24 @@ def out_links_of(idx: int, n_images: int, n_hosts: int) -> list[str]:
     return links
 
 
-def make_row(idx: int, seed: int, n_images: int, n_hosts: int) -> dict:
+def make_row(idx: int, seed: int, n_images: int, n_hosts: int, jpeg_share: float = 0.0) -> dict:
+    from frontera_spark.sources.jpeg import encode_jpeg
     from frontera_spark.sources.png import encode_png
 
-    px = stored_pixels(seed, idx)
+    fmt = fmt_of(idx, jpeg_share)
+    px = stored_pixels(seed, idx, jpeg_share)
+    if fmt == "jpeg":
+        # q100 4:4:4: quant tables are all-ones, so the only loss is DCT
+        # rounding — PSNR >= 40 dB holds even on noise pixels (measured ~53)
+        payload = encode_jpeg(px, quality=100)
+    else:
+        payload = encode_png(px)
     return {
         "image_id": image_id_of(idx),
-        "bytes": encode_png(px),
+        "bytes": payload,
         "w": px.shape[1],
         "h": px.shape[0],
-        "fmt": fmt_of(idx),
+        "fmt": fmt,
         "caption": caption_of(idx),
         "phash": phash_of(px),
         "url": url_of(idx, n_hosts),
@@ -145,13 +163,17 @@ def generate_corpus(
     n_hosts: int = 31,
     seed: int = 42,
     partitions: int | None = None,
+    jpeg_share: float = 0.0,
 ) -> DataFrame:
     """Distributed corpus DataFrame; pure function of (seed, idx) per row."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_row(int(i), seed, n_images, n_hosts) for i in pdf["id"]]
+            rows = [
+                make_row(int(i), seed, n_images, n_hosts, jpeg_share)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_images, 1, parts).mapInPandas(gen, CORPUS_SCHEMA)

@@ -73,9 +73,22 @@ def test_audio_features_deterministic(corpus):
 
 
 def test_unknown_format_raises(spark):
+    # 'webp' has no in-sandbox codec: the fmt guard must raise loudly
+    # (jpeg moved OFF this list in round 5 — sources/jpeg.py is real now)
     df = spark.createDataFrame(
-        [("x", bytearray(b"notpng"), 4, 4, "jpeg")],
+        [("x", bytearray(b"notwebp"), 4, 4, "webp")],
         "image_id string, bytes binary, w int, h int, fmt string",
     )
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         decode_images(df).collect()
+
+
+def test_corrupt_bytes_supported_format_flags_not_raises(spark):
+    # a supported fmt with undecodable bytes is a per-row decode_ok=False,
+    # not a stage failure — one bad payload must not kill a 100 TB scan
+    df = spark.createDataFrame(
+        [("x", bytearray(b"\xff\xd8garbage"), 4, 4, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = decode_images(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
