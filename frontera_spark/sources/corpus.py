@@ -179,5 +179,14 @@ def generate_corpus(
     return spark.range(0, n_images, 1, parts).mapInPandas(gen, CORPUS_SCHEMA)
 
 
-def write_corpus(spark: SparkSession, path: str, n_images: int, n_hosts: int = 31, seed: int = 42) -> None:
-    generate_corpus(spark, n_images, n_hosts, seed).write.mode("overwrite").parquet(path)
+def write_corpus(
+    spark: SparkSession,
+    path: str,
+    n_images: int,
+    n_hosts: int = 31,
+    seed: int = 42,
+    jpeg_share: float = 0.0,
+) -> None:
+    generate_corpus(spark, n_images, n_hosts, seed, jpeg_share=jpeg_share).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -7,7 +7,7 @@ iteration:
 
     feed_i    = engine.get_next_requests(...)          # batch generator
     results_i = fetch(feed_i ⋈ corpus)                 # downloader simulator
-                + decode PNG, PSNR/caption invariant   #   (mapInPandas)
+                + decode image, PSNR/caption invariant #   (mapInPandas)
     links_i   = explode(results_i.out_links)           # link extraction
     engine.ingest_results(ok, missing, links_i)        # spider log + scoring
                                                        #   log fused: ONE MERGE
@@ -89,8 +89,9 @@ def fetch_stage(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from frontera_spark.operators.multimodal import decode_image
         from frontera_spark.sources.corpus import caption_of, raw_pixels
-        from frontera_spark.sources.png import decode_png, psnr
+        from frontera_spark.sources.png import psnr
 
         for pdf in batches:
             out = pdf[
@@ -117,11 +118,13 @@ def fetch_stage(
                     cap_ok.append(True)
                     continue
                 idx = int(image_id[3:])
-                px = decode_png(bytes(raw))
+                px = decode_image(bytes(raw))
                 ref = raw_pixels(corpus_seed, idx)
                 p = psnr(px, ref) if px.shape == ref.shape else 0.0
-                # lossless rows decode bit-exact (inf dB); lossy ('qpng')
-                # rows are quantized step-2 → ≥ 40 dB by construction
+                # lossless rows decode bit-exact (inf dB); lossy rows —
+                # 'qpng' (quantize step 2) and real 'jpeg' (q100 DCT
+                # rounding, sources/jpeg.py) — land ≥ 40 dB; decode is
+                # magic-byte dispatched so the loop is codec-agnostic
                 psnrs.append(None if np.isinf(p) else float(p))
                 inv_ok.append(bool(np.isinf(p) or p >= 40.0))
                 cap_ok.append(caption == caption_of(idx))

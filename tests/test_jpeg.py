@@ -227,6 +227,38 @@ def test_default_corpus_bytes_unchanged_by_jpeg_flag(spark):
     )
 
 
+def test_crawl_loop_over_jpeg_corpus(spark, tmp_path):
+    """E2E: the crawl loop's fetch invariant runs through the magic-byte
+    dispatcher, so a corpus with a real-JPEG slice crawls with ZERO
+    invariant violations — the lossy rows land >= 40 dB, not bit-exact."""
+    from frontera_spark.sources.corpus import url_of, write_corpus
+    from frontera_spark.streaming.loop import CrawlLoop
+
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_path, 40, n_hosts=7, seed=42, jpeg_share=0.3)
+    fmts = {
+        r["fmt"]
+        for r in spark.read.parquet(corpus_path).select("fmt").distinct().collect()
+    }
+    assert "jpeg" in fmts
+    loop = CrawlLoop(
+        spark, str(tmp_path / "eng"), corpus_path, corpus_seed=42,
+        strategy="bfs", batch_size=16, n_partitions=1, mode="global",
+    )
+    loop.add_seeds([url_of(0, 7)])
+    metrics = loop.run(max_iterations=12)
+    assert sum(m["n_fetched"] for m in metrics) == 40
+    assert sum(m["invariant_violations"] for m in metrics) == 0
+    # the lineage table must show finite (= lossy-row) PSNRs, all >= 40:
+    # jpeg rows decode non-bit-exact, so psnr_min is non-null somewhere
+    mins = [
+        r["psnr_min"]
+        for r in loop.metrics().select("psnr_min").collect()
+        if r["psnr_min"] is not None
+    ]
+    assert mins and min(mins) >= 40.0
+
+
 def test_audio_features_real_wav_path(spark):
     from frontera_spark.operators.multimodal import extract_audio_features
 
