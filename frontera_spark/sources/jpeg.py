@@ -482,6 +482,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 break
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2:  # a zero/one-length segment would stall the parser
+            raise ValueError(f"malformed segment length {seglen}")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -501,9 +503,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):  # T.81 B.2.2 bounds
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension")
         elif marker == 0xC2:
             raise ValueError("progressive JPEG (SOF2) not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -523,6 +530,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = body[0]
             order = {cid: (td_ta >> 4, td_ta & 0x0F)
                      for cid, td_ta in zip(body[1:1 + 2 * ns:2], body[2:2 + 2 * ns:2])}
+            for cid, _, _, _ in comps:
+                if cid not in order:
+                    raise ValueError(f"SOS missing component {cid}")
             scan_map = [order[c[0]] for c in comps]
             scan_pos = pos
             break
@@ -538,6 +548,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
         for (_, hi, vi, _) in comps
     ]
+    for _, _, _, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+    for ci in range(len(comps)):
+        td, ta = scan_map[ci]
+        if (0, td) not in dec_tables or (1, ta) not in dec_tables:
+            raise ValueError(f"missing Huffman table (dc={td}, ac={ta})")
     qt_per_comp = [qtables[tq] for (_, _, _, tq) in comps]
     br = _BitReader(data, scan_pos)
     preds = [0] * len(comps)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from frontera_spark.sources.jpeg import (
     _DCT,
@@ -152,6 +153,29 @@ def test_invalid_huffman_stream_raises():
         decode_jpeg(bytes(b))  # garbage decode is acceptable...
     except ValueError:
         pass  # ...and so is a loud invalid-code error; a crash/hang is not
+
+
+def test_fuzzed_inputs_terminate():
+    """A crawler feeds the decoder hostile bytes: every mutation must either
+    decode to SOME image or raise ValueError/NotImplementedError promptly —
+    never hang an executor or escape with an unexpected exception type."""
+    rng = np.random.default_rng(123)
+    base = bytearray(encode_jpeg(_noise(24, 24, seed=1), quality=90))
+    for trial in range(200):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError, IndexError, struct_error):
+            pass  # loud, typed failure is fine; a hang/crash is not
+    # truncations at every marker-ish boundary
+    for cut in range(2, len(base), 97):
+        try:
+            decode_jpeg(bytes(base[:cut]))
+        except (ValueError, NotImplementedError, IndexError, struct_error):
+            pass
 
 
 # ------------------------------------------------------------------ WAV
