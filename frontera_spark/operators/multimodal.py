@@ -104,10 +104,21 @@ def decode_images(df: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
-    """Block-mean resize to (out_w, out_h), re-encoded PNG (REAL)."""
+def resize_images(
+    df: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    out_fmt: str = "png",
+    jpeg_quality: int = 85,
+) -> DataFrame:
+    """Block-mean resize to (out_w, out_h), re-encoded as PNG or baseline
+    JPEG (REAL both ways — the thumbnail pipeline a training-data prep run
+    would use; JPEG thumbnails are typically several times smaller)."""
+    if out_fmt not in ("png", "jpeg"):
+        raise ValueError("out_fmt must be 'png' or 'jpeg'")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.jpeg import encode_jpeg
         from frontera_spark.sources.png import encode_png
 
         for pdf in batches:
@@ -118,7 +129,12 @@ def resize_images(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 small = px[np.ix_(yi, xi)]
-                rows.append((iid, encode_png(small), out_w, out_h, "png"))
+                payload = (
+                    encode_jpeg(small, quality=jpeg_quality)
+                    if out_fmt == "jpeg"
+                    else encode_png(small)
+                )
+                rows.append((iid, payload, out_w, out_h, out_fmt))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     return df.select("image_id", "bytes").mapInPandas(fn, RESIZE_SCHEMA)

@@ -283,6 +283,23 @@ def test_crawl_loop_over_jpeg_corpus(spark, tmp_path):
     assert mins and min(mins) >= 40.0
 
 
+def test_resize_to_jpeg_thumbnails(spark):
+    from frontera_spark.operators.multimodal import decode_image, resize_images
+    from frontera_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 12, seed=42, jpeg_share=0.3)
+    thumbs = {r["image_id"]: r for r in resize_images(
+        corpus, out_w=16, out_h=16, out_fmt="jpeg", jpeg_quality=90
+    ).collect()}
+    assert len(thumbs) == 12
+    for r in thumbs.values():
+        assert r["fmt"] == "jpeg" and bytes(r["bytes"])[:2] == b"\xff\xd8"
+        px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (16, 16, 3)
+    with pytest.raises(ValueError, match="out_fmt"):
+        resize_images(corpus, out_fmt="webp")
+
+
 def test_audio_features_real_wav_path(spark):
     from frontera_spark.operators.multimodal import extract_audio_features
 
