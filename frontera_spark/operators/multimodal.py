@@ -13,13 +13,14 @@ Design for 100 TB of media:
   (session.py sets 2048) so a batch of 64 KB images stays ~128 MB.
 
 Real vs stubbed: PNG decode, baseline JPEG decode (pure-numpy ITU-T T.81
-codec — sources/jpeg.py), block-mean resize, perceptual hash, and RIFF/PCM
-WAV audio decode (sources/wav.py) are REAL. WebP and compressed audio/video
-codecs need libraries this container does not ship (PIL/ffmpeg absent —
-SURVEY.md §7.3 M0), so those decoders are STUBS: the Spark-side plumbing
-(schemas, batch shapes, explode semantics, partitioning) is real and tested
-against deterministic fakes, and each stub raises ``NotImplementedError``
-for formats it cannot honestly fake.
+codec — sources/jpeg.py), GIF decode + animated-GIF frame demux
+(sources/gif.py), block-mean resize, perceptual hash, and RIFF/PCM WAV
+audio decode (sources/wav.py) are REAL. WebP, MP4/WebM, and compressed
+audio codecs need libraries this container does not ship (PIL/ffmpeg
+absent — SURVEY.md §7.3 M0), so those decoders are STUBS: the Spark-side
+plumbing (schemas, batch shapes, explode semantics, partitioning) is real
+and tested against deterministic fakes, and each stub raises
+``NotImplementedError`` for formats it cannot honestly fake.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def decode_image(raw: bytes) -> np.ndarray:
     signature / JPEG SOI), not on the metadata ``fmt`` column — a crawl
     cannot trust a Content-Type header. Raises NotImplementedError for
     container formats with no in-sandbox codec (WebP/GIF/...)."""
+    from frontera_spark.sources.gif import decode_gif
     from frontera_spark.sources.jpeg import decode_jpeg
     from frontera_spark.sources.png import decode_png
 
@@ -45,9 +47,11 @@ def decode_image(raw: bytes) -> np.ndarray:
         return decode_png(raw)
     if raw[:2] == b"\xff\xd8":
         return decode_jpeg(raw)
+    if raw[:4] == b"GIF8":
+        return decode_gif(raw)
     raise NotImplementedError(
         "decode_image: no decoder for this payload in this container "
-        "(PIL/libvips absent); png/qpng/jpeg only"
+        "(PIL/libvips absent); png/qpng/jpeg/gif only"
     )
 
 DECODE_STATS_SCHEMA = (
@@ -162,22 +166,32 @@ def compute_phash(df: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 2, n_frames: int = 6) -> DataFrame:
-    """STUB (video demux): one input row → one output row per sampled frame.
+    """Frame sampling: one input row → one output row per sampled frame.
 
-    No video codec ships in this container, so the "video" is a
-    deterministic fake — frame k is the payload image rolled k rows — but
-    everything Spark-side is the real design: the explode-in-pandas batch
-    shape (a 1→N mapInPandas, NOT a driver loop), fixed frame DDL, and
-    payload-only column selection. Swapping the fake for
-    ``av``/``ffmpeg`` touches only the inner loop."""
+    REAL demux for animated GIF payloads (sources/gif.py): the actual
+    frames are decoded, every ``every_n``-th is kept up to ``n_frames``,
+    and each is re-encoded PNG. Still-image payloads keep the documented
+    deterministic fake (frame k = image rolled k rows) so the op shape is
+    exercised on every corpus; MP4/WebM demuxing needs ffmpeg, which this
+    container does not ship. Everything Spark-side is the real design: an
+    explode-in-pandas 1→N mapInPandas (NOT a driver loop), fixed frame DDL,
+    payload-only column selection."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.gif import decode_gif_frames
         from frontera_spark.sources.png import encode_png
 
         for pdf in batches:
             rows = []
             for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_image(bytes(raw))
+                raw = bytes(raw)
+                if raw[:4] == b"GIF8":
+                    frames = decode_gif_frames(raw)
+                    for k in range(0, min(len(frames), n_frames), every_n):
+                        f = frames[k]
+                        rows.append((iid, k, encode_png(f), f.shape[1], f.shape[0]))
+                    continue
+                px = decode_image(raw)
                 for k in range(0, n_frames, every_n):
                     frame = np.roll(px, shift=k, axis=0)
                     rows.append(
