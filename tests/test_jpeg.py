@@ -43,6 +43,28 @@ def test_dct_matrix_orthonormal():
     assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
 
 
+def test_dct_matches_direct_t81_formula():
+    """Cross-check the fast matrix DCT against the spec's O(n^4) definition
+    (T.81 A.3.3) — an independent implementation, not a round-trip."""
+    rng = np.random.default_rng(42)
+    b = rng.uniform(-128, 127, (8, 8))
+    naive = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            acc = 0.0
+            for x in range(8):
+                for y in range(8):
+                    acc += (
+                        b[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[u, v] = 0.25 * cu * cv * acc
+    assert np.allclose(_DCT @ b @ _DCT.T, naive, atol=1e-9)
+
+
 def test_zigzag_is_permutation():
     assert sorted(ZIGZAG.tolist()) == list(range(64))
     # first few entries of the T.81 scan
