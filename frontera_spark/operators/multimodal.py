@@ -39,6 +39,7 @@ def decode_image(raw: bytes) -> np.ndarray:
     signature / JPEG SOI), not on the metadata ``fmt`` column — a crawl
     cannot trust a Content-Type header. Raises NotImplementedError for
     container formats with no in-sandbox codec (WebP/GIF/...)."""
+    from frontera_spark.sources.bmp import decode_bmp
     from frontera_spark.sources.gif import decode_gif
     from frontera_spark.sources.jpeg import decode_jpeg
     from frontera_spark.sources.png import decode_png
@@ -49,9 +50,11 @@ def decode_image(raw: bytes) -> np.ndarray:
         return decode_jpeg(raw)
     if raw[:4] == b"GIF8":
         return decode_gif(raw)
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
     raise NotImplementedError(
         "decode_image: no decoder for this payload in this container "
-        "(PIL/libvips absent); png/qpng/jpeg/gif only"
+        "(PIL/libvips absent); png/qpng/jpeg/gif/bmp only"
     )
 
 DECODE_STATS_SCHEMA = (
