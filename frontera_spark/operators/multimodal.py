@@ -62,6 +62,10 @@ DECODE_STATS_SCHEMA = (
     "mean_luma double, channels int, decode_ok boolean"
 )
 
+DECODE_STATS_PHASH_SCHEMA = (
+    DECODE_STATS_SCHEMA + ", phash_recomputed long, phash_match boolean"
+)
+
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 PHASH_SCHEMA = "image_id string, phash long, phash_recomputed long, phash_match boolean"
@@ -74,40 +78,58 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def decode_images(df: DataFrame) -> DataFrame:
-    """bytes → decoded-pixel stats (REAL for png/qpng/jpeg; other fmts raise).
+def decode_images(df: DataFrame, recompute_phash: bool = False) -> DataFrame:
+    """bytes → decoded-pixel stats (REAL for png/qpng/jpeg/gif/bmp; other
+    fmts raise).
 
     The per-row invariant pipeline's building block: decoded dimensions must
     match the metadata columns, mean luminance is the cheap content
-    fingerprint downstream quality filters use."""
+    fingerprint downstream quality filters use. With ``recompute_phash``,
+    the 64-bit perceptual hash is computed from the SAME decoded pixels and
+    compared to the stored ``phash`` column — one decode pass serves both
+    stats and content-identity (a 100 TB corpus cannot afford decoding
+    every payload twice)."""
+    known = ("png", "qpng", "jpeg", "gif", "bmp")
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (
+        ["phash"] if recompute_phash else []
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frontera_spark.sources.corpus import phash_of
+
         for pdf in batches:
             rows = []
-            for iid, raw, w, h, fmt in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            stored_ph = pdf["phash"] if recompute_phash else pdf["image_id"]
+            for iid, raw, w, h, fmt, stored in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], stored_ph
             ):
-                if fmt not in ("png", "qpng", "jpeg"):
+                if fmt not in known:
                     raise NotImplementedError(
                         f"decode_images: no decoder for fmt={fmt!r} in this "
-                        "container (PIL/libvips absent); png/qpng/jpeg only"
+                        f"container (PIL/libvips absent); {'/'.join(known)} only"
                     )
                 try:
                     px = decode_image(bytes(raw))
                     luma = float(px.astype(np.float64).mean())
-                    rows.append((iid, w, h, fmt, px.shape[1], px.shape[0], luma, px.shape[2], True))
+                    row = [iid, w, h, fmt, px.shape[1], px.shape[0], luma, px.shape[2], True]
+                    if recompute_phash:
+                        ph = phash_of(px)
+                        row += [ph, ph == int(stored)]
                 except Exception:
-                    rows.append((iid, w, h, fmt, None, None, None, None, False))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "w", "h", "fmt", "decoded_w", "decoded_h",
-                    "mean_luma", "channels", "decode_ok",
-                ],
-            )
+                    row = [iid, w, h, fmt, None, None, None, None, False]
+                    if recompute_phash:
+                        row += [None, None]
+                rows.append(tuple(row))
+            names = [
+                "image_id", "w", "h", "fmt", "decoded_w", "decoded_h",
+                "mean_luma", "channels", "decode_ok",
+            ]
+            if recompute_phash:
+                names += ["phash_recomputed", "phash_match"]
+            yield pd.DataFrame(rows, columns=names)
 
-    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        fn, DECODE_STATS_SCHEMA
+    return df.select(*cols).mapInPandas(
+        fn, DECODE_STATS_PHASH_SCHEMA if recompute_phash else DECODE_STATS_SCHEMA
     )
 
 

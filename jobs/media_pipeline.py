@@ -47,11 +47,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from frontera_spark.operators.multimodal import (
-        compute_phash,
-        decode_images,
-        resize_images,
-    )
+    from frontera_spark.operators.multimodal import decode_images, resize_images
     from frontera_spark.session import get_spark
 
     spark = get_spark("media_pipeline")
@@ -68,11 +64,9 @@ def main() -> None:
     corpus = corpus.cache()
     n_in = corpus.count()
 
-    # 1. decode + integrity stats: dims must match metadata, luma recorded
-    stats = decode_images(corpus)
-    # 2. phash recompute from bytes (joins the stats output by image_id)
-    ph = compute_phash(corpus).select("image_id", "phash_recomputed", "phash_match")
-    stats = stats.join(ph, "image_id", "left")
+    # 1+2. decode + integrity stats + phash recompute in ONE pass over the
+    # payload bytes (decoding twice doubles the dominant cost at scale)
+    stats = decode_images(corpus, recompute_phash=True)
     stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
     stats_df = spark.read.parquet(os.path.join(args.output, "stats"))
     n_ok = stats_df.where("decode_ok").count()

@@ -83,6 +83,22 @@ def test_unknown_format_raises(spark):
         decode_images(df).collect()
 
 
+def test_decode_images_fused_phash_single_pass(spark, corpus):
+    # recompute_phash=True must equal the standalone compute_phash output
+    # while decoding each payload exactly once (one mapInPandas, no join)
+    from frontera_spark.operators.multimodal import compute_phash
+
+    fused = {r["image_id"]: r for r in decode_images(corpus, recompute_phash=True).collect()}
+    standalone = {r["image_id"]: r for r in compute_phash(corpus).collect()}
+    assert set(fused) == set(standalone)
+    for iid, r in standalone.items():
+        assert fused[iid]["phash_recomputed"] == r["phash_recomputed"]
+        assert fused[iid]["phash_match"] == r["phash_match"]
+        assert fused[iid]["decode_ok"] is True
+    plan = decode_images(corpus, recompute_phash=True)._jdf.queryExecution().toString()
+    assert "Join" not in plan
+
+
 def test_corrupt_bytes_supported_format_flags_not_raises(spark):
     # a supported fmt with undecodable bytes is a per-row decode_ok=False,
     # not a stage failure — one bad payload must not kill a 100 TB scan
