@@ -31,6 +31,20 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 _PATH_SAFE = "/%!$&'()*+,;=:@~-._"
 
 
+def _idna_host(host: str) -> str:
+    """Lowercased host → punycode when non-ASCII (IDNA, stdlib codec).
+
+    Invalid IDN labels (empty, overlong, bad codepoints) return unchanged —
+    the engine's host sanity filters own rejection, canonicalization stays
+    total."""
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
 def canonicalize_url(url: str) -> str:
     """Canonicalize one URL (pure Python; the UDF vectorizes over this).
 
@@ -41,6 +55,10 @@ def canonicalize_url(url: str) -> str:
       4. query params sorted by (key, value); blank values kept
       5. percent-escapes normalized (unquote+requote with a fixed safe set)
       6. empty path → "/"
+      7. internationalized hosts → punycode (IDNA; stdlib codec), so the
+         unicode and xn-- spellings of one host share one fingerprint;
+         labels the codec rejects are left as-is (dropped later by the
+         host sanity filters)
     """
     try:
         scheme, netloc, path, query, _frag = urlsplit(url.strip())
@@ -58,9 +76,10 @@ def canonicalize_url(url: str) -> str:
         return url.strip()
     if "@" in host:  # userinfo@host
         userinfo, _, bare = host.rpartition("@")
-        host = bare
+        host = _idna_host(bare)
         netloc = f"{userinfo}@{host}"
     else:
+        host = _idna_host(host)
         netloc = host
     if sep and port and port != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{netloc}:{port}"

@@ -51,6 +51,37 @@ def test_canonicalize_idempotent_hostile(prefix, tail):
     assert canonicalize_url(c1) == c1
 
 
+def test_idna_host_punycode():
+    # unicode and xn-- spellings of one host must canonicalize identically
+    # (shared fingerprint — a real crawl sees both)
+    a = canonicalize_url("https://MÜNCHEN.example.DE/x")
+    b = canonicalize_url("https://xn--mnchen-3ya.example.de/x")
+    assert a == b == "https://xn--mnchen-3ya.example.de/x"
+    # userinfo + port preserved around the converted host
+    assert (
+        canonicalize_url("https://user@BÜCHER.example:8443/p")
+        == "https://user@xn--bcher-kva.example:8443/p"
+    )
+    # an invalid IDN label (overlong) stays as-is instead of raising
+    bad = "https://" + "ü" * 80 + ".example/x"
+    out = canonicalize_url(bad)
+    assert "ü" * 80 in out and canonicalize_url(out) == out
+
+
+@settings(max_examples=200, suppress_health_check=list(HealthCheck))
+@given(
+    label=st.text(
+        alphabet="abcüößñ0-9",
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_idna_hosts_stay_idempotent(label):
+    u = f"https://{label}.example/x"
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+
+
 def test_empty_authority_regression():
     # 'http://.//f 2:A' once canonicalized to 'http://f%202:A', whose re-parse
     # moved path into authority position (non-idempotent); now passed through
