@@ -56,6 +56,25 @@ def test_error_paths():
         decode_bmp(bytes(brle))
 
 
+def test_fuzzed_bmps_terminate():
+    rng = np.random.default_rng(55)
+    base = bytearray(encode_bmp(_img(12, 12, seed=8)))
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            out = decode_bmp(bytes(b))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    for cut in range(2, len(base), 17):
+        try:
+            decode_bmp(bytes(base[:cut]))
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+
+
 def test_dispatcher_routes_bmp():
     from frontera_spark.operators.multimodal import decode_image
 

@@ -336,3 +336,23 @@ def test_audio_features_real_wav_path(spark):
     # the byte-view fallback would give both ~the same (headers dominate)
     assert abs(rows["a"]["rms"] - 0.9 / np.sqrt(2)) < 0.01
     assert abs(rows["b"]["rms"] - 0.05 / np.sqrt(2)) < 0.01
+
+
+def test_fuzzed_wavs_terminate():
+    rng = np.random.default_rng(88)
+    t = np.linspace(0, 1, 400, endpoint=False)
+    base = bytearray(encode_wav(0.5 * np.sin(2 * np.pi * 100 * t), 8000))
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            sig, rate = decode_wav(bytes(b))
+            assert sig.ndim == 2 and rate > 0
+        except (ValueError, NotImplementedError, ZeroDivisionError, struct_error):
+            pass
+    for cut in range(2, len(base), 53):
+        try:
+            decode_wav(bytes(base[:cut]))
+        except (ValueError, NotImplementedError, ZeroDivisionError, struct_error):
+            pass
