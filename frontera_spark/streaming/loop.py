@@ -196,6 +196,7 @@ class CrawlLoop:
         dynamic_hosts: dict | None = None,
         retry: dict | None = None,
         flaky_hosts: dict | None = None,
+        content_dedup: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -275,6 +276,22 @@ class CrawlLoop:
         # retry policy itself is simulator-independent.
         self.flaky_hosts = dict(flaky_hosts or {})
         self.errorlog_dir = os.path.join(workdir, "errorlog")
+        # content-level duplicate detection (mirror handling — Heritrix's
+        # "identical digest" idea): a fetched page whose content signature
+        # was already seen at another URL still takes its CRAWLED
+        # transition, but its links are NOT extracted — mirrored bodies
+        # carry mirrored outlinks, so extracting them again just schedules
+        # the mirror's whole subtree. First occurrence per signature (by
+        # min seq — discovery order — within a batch, then first iteration
+        # across batches) wins. Signatures land in contentlog/iter=<i>/ with the
+        # same overwrite-on-replay + read-only-iters-below-current contract
+        # as the fetch log, so rollback/resume replays are exact. At
+        # 10^10-URL scale the anti-join against the signature log is the
+        # same shape as the frontier's URL dedup; a production deployment
+        # would add the bloom/cuckoo pre-filter layer (core/seen.py) keyed
+        # by sig the way URL fingerprints are.
+        self.content_dedup = bool(content_dedup)
+        self.contentlog_dir = os.path.join(workdir, "contentlog")
         # robots_txt: {host: robots.txt body} — ONE knob that derives the
         # whole robots stack (frontera analog: scrapy's RobotsTxtMiddleware
         # + DOWNLOAD_DELAY, per-process crawler settings; here both live in
@@ -387,6 +404,56 @@ class CrawlLoop:
             .write.mode("overwrite")
             .parquet(os.path.join(self.fetchlog_dir, f"iter={iteration}"))
         )
+
+    def _content_dedup_split(self, results: DataFrame, iteration: int):
+        """Mirror detection: split this batch's (cached) results into
+        first-occurrence originals and content duplicates.
+
+        Originals = one winner per content signature inside the batch (min
+        seq — the single-consumer discovery order, so "first occurrence"
+        matches the reference's sequential semantics and is deterministic
+        across partitionings) that is also absent from every PRIOR iteration's
+        signature log; the `iteration < current` filter makes rollback
+        replays exact (stale future logs are ignored, then overwritten as
+        the replay reaches them). Returns (originals_frame, n_duplicates);
+        the originals' signatures are committed to contentlog/iter=<i>."""
+        import glob as _glob
+
+        from pyspark.sql.window import Window
+
+        sigged = results.withColumn("_sig", self._content_sig(iteration))
+        w = Window.partitionBy("_sig").orderBy("seq")
+        firsts = (
+            sigged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        dirs = [
+            d
+            for d in _glob.glob(os.path.join(self.contentlog_dir, "iter=*"))
+            if int(d.rsplit("=", 1)[1]) < iteration
+        ]
+        if dirs:
+            known = self.spark.read.parquet(*dirs).select("sig").distinct()
+            firsts = firsts.join(
+                known, firsts["_sig"] == known["sig"], "left_anti"
+            )
+        originals = firsts.cache()
+        n_dups = results.count() - originals.count()
+        (
+            originals.select(
+                "fingerprint",
+                "partition_id",
+                F.lit(iteration).alias("iteration"),
+                F.col("_sig").alias("sig"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.contentlog_dir, f"iter={iteration}"))
+        )
+        # return the CACHED frame (caller drops _sig and unpersists this
+        # handle — unpersisting a derived frame would leak the cache)
+        return originals, int(n_dups)
 
     def _conditional_split(self, feed: DataFrame, iteration: int, pids: list[int]):
         """Conditional re-fetch split (HTTP 304 / If-None-Match analog).
@@ -834,10 +901,19 @@ class CrawlLoop:
         # partitions are exactly the popped ones
         upd_pids = sorted(popped_by_pid)
 
+        # content-level dedup (mirror handling): duplicates keep their
+        # CRAWLED transition below but contribute no links
+        link_src = results
+        dedup_frame = None
+        n_content_dups = 0
+        if self.content_dedup:
+            dedup_frame, n_content_dups = self._content_dedup_split(results, iteration)
+            link_src = dedup_frame.drop("_sig")
+
         # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
         # new links' QUEUED inserts land in ONE MERGE commit per iteration
         links = extract_links(
-            results,
+            link_src,
             parent_scores=(
                 feed.select("seq", "score")
                 if self.engine.strategy.accumulates_cash
@@ -898,6 +974,10 @@ class CrawlLoop:
         }
         if self.revisit_cfg is not None and self.revisit_cfg.get("conditional"):
             agg["n_not_modified"] = sum(n_notmod_by_pid.values())
+        if self.content_dedup:
+            agg["n_content_dups"] = n_content_dups
+        if dedup_frame is not None:
+            dedup_frame.unpersist()
         results.unpersist()
         if notmod is not None:
             notmod.unpersist()
