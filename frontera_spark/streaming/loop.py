@@ -285,13 +285,26 @@ class CrawlLoop:
         # min seq — discovery order — within a batch, then first iteration
         # across batches) wins. Signatures land in contentlog/iter=<i>/ with the
         # same overwrite-on-replay + read-only-iters-below-current contract
-        # as the fetch log, so rollback/resume replays are exact. At
-        # 10^10-URL scale the anti-join against the signature log is the
-        # same shape as the frontier's URL dedup; a production deployment
-        # would add the bloom/cuckoo pre-filter layer (core/seen.py) keyed
-        # by sig the way URL fingerprints are.
+        # as the fetch log, so rollback/resume replays are exact. The
+        # cross-iteration check routes through the SAME bloom/cuckoo shard
+        # layer as URL fingerprints (core/seen.py, sharded by sig % P): a
+        # batch whose winners are all "definitely new" never touches the
+        # signature log at all, so the per-iteration cost is O(batch) —
+        # the exact log scan runs only for the bloom-maybe minority
+        # (true mirrors + ~0.06% FP), exactly the frontier's URL-dedup
+        # shape. Blooms are add-only, which is safe under rollback: a
+        # replayed iteration sees extra "maybe"s that the exact anti-join
+        # (restricted to iters < current) resolves; missing shards are
+        # rebuilt from the logs in _recover().
         self.content_dedup = bool(content_dedup)
         self.contentlog_dir = os.path.join(workdir, "contentlog")
+        self.content_seen = None
+        if self.content_dedup:
+            from frontera_spark.core.seen import SeenShards
+
+            # shards live at contentlog/seen_shards — beside the exact log
+            # they summarize, excluded from the iter=* glob
+            self.content_seen = SeenShards(self.contentlog_dir)
         # robots_txt: {host: robots.txt body} — ONE knob that derives the
         # whole robots stack (frontera analog: scrapy's RobotsTxtMiddleware
         # + DOWNLOAD_DELAY, per-process crawler settings; here both live in
@@ -347,6 +360,8 @@ class CrawlLoop:
         """Re-queue rows marked into a feed batch but never crawled (a crash
         between mark and page_crawled): clear their batch_id so the next pop
         sees them again. Fetching is deterministic → replay is idempotent."""
+        if self.content_seen is not None:
+            self._recover_content_seen()
         t = self.engine.table
         # un-absorbed overlay marks are exactly the in-flight feed rows whose
         # results never committed — dropping them re-queues those rows with a
@@ -368,6 +383,31 @@ class CrawlLoop:
             insert=False,
             affected_pids=[r["partition_id"] for r in pid_rows],
         )
+
+    def _recover_content_seen(self) -> None:
+        """Rebuild the content-sig bloom shards from the exact logs if they
+        lag (lost/partial shard files, a crash between the log write and
+        the shard add). Shards AHEAD of the current iteration — a rollback
+        — are safe as-is: extra bloom bits only cause "maybe"s, and the
+        exact anti-join is already restricted to iters < current. Shards
+        BEHIND the newest prior log would cause unsafe "definitely new"
+        verdicts, so that is the rebuild trigger. One O(crawled-so-far)
+        scan, paid only on an inconsistent resume — never per iteration."""
+        dirs = self._content_log_dirs(self.engine.iteration)
+        if not dirs:
+            return
+        max_logged = max(int(d.rsplit("=", 1)[1]) for d in dirs)
+        if self.content_seen.synced_gen() >= max_logged:
+            return
+        self.content_seen.rebuild(
+            self.spark.read.parquet(*dirs)
+            .select(F.col("sig").alias("_sig"))
+            .select(
+                self._sig_shard_col().alias("partition_id"),
+                F.col("_sig").alias("fingerprint"),
+            )
+        )
+        self.content_seen.commit(max_logged)
 
     # -------------------------------------------------------------- revisit
 
@@ -405,6 +445,22 @@ class CrawlLoop:
             .parquet(os.path.join(self.fetchlog_dir, f"iter={iteration}"))
         )
 
+    def _content_log_dirs(self, iteration: int) -> list[str]:
+        """Signature-log dirs strictly below ``iteration`` — the
+        rollback-exact read set (stale future logs are ignored, then
+        overwritten as a replay reaches them)."""
+        import glob as _glob
+
+        return [
+            d
+            for d in _glob.glob(os.path.join(self.contentlog_dir, "iter=*"))
+            if int(d.rsplit("=", 1)[1]) < iteration
+        ]
+
+    def _sig_shard_col(self):
+        """Shard id for a content signature: sig % P (non-negative)."""
+        return F.pmod(F.col("_sig"), F.lit(self.engine.n_partitions)).cast("int")
+
     def _content_dedup_split(self, results: DataFrame, iteration: int):
         """Mirror detection: split this batch's (cached) results into
         first-occurrence originals and content duplicates.
@@ -412,13 +468,15 @@ class CrawlLoop:
         Originals = one winner per content signature inside the batch (min
         seq — the single-consumer discovery order, so "first occurrence"
         matches the reference's sequential semantics and is deterministic
-        across partitionings) that is also absent from every PRIOR iteration's
-        signature log; the `iteration < current` filter makes rollback
-        replays exact (stale future logs are ignored, then overwritten as
-        the replay reaches them). Returns (originals_frame, n_duplicates);
-        the originals' signatures are committed to contentlog/iter=<i>."""
-        import glob as _glob
-
+        across partitionings) that is also absent from every PRIOR
+        iteration's signature log. The cross-iteration check is gated by
+        the sig-sharded bloom filters (core/seen.py): winners the bloom
+        calls "definitely new" skip the log entirely, and the exact
+        anti-join runs only when the batch has bloom-maybes — so a crawl
+        of mostly-new content pays O(batch) per iteration regardless of
+        how much it has already crawled. Returns (originals_frame,
+        n_duplicates, n_maybe); the originals' signatures are committed to
+        contentlog/iter=<i> and added to the shards."""
         from pyspark.sql.window import Window
 
         sigged = results.withColumn("_sig", self._content_sig(iteration))
@@ -427,18 +485,25 @@ class CrawlLoop:
             sigged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .withColumn(
+                "_maybe",
+                self.content_seen.maybe_seen_udf()(
+                    self._sig_shard_col(), F.col("_sig")
+                ),
+            )
         )
-        dirs = [
-            d
-            for d in _glob.glob(os.path.join(self.contentlog_dir, "iter=*"))
-            if int(d.rsplit("=", 1)[1]) < iteration
-        ]
+        # the gate: one batch-sized count decides whether the exact log is
+        # touched at all (results is cached, so this re-runs only the
+        # window + bloom probe)
+        n_maybe = firsts.filter(F.col("_maybe")).count()
+        dirs = self._content_log_dirs(iteration) if n_maybe else []
         if dirs:
             known = self.spark.read.parquet(*dirs).select("sig").distinct()
-            firsts = firsts.join(
+            checked = firsts.filter(F.col("_maybe")).join(
                 known, firsts["_sig"] == known["sig"], "left_anti"
             )
-        originals = firsts.cache()
+            firsts = firsts.filter(~F.col("_maybe")).unionByName(checked)
+        originals = firsts.drop("_maybe").cache()
         n_dups = results.count() - originals.count()
         (
             originals.select(
@@ -451,9 +516,19 @@ class CrawlLoop:
             .write.mode("overwrite")
             .parquet(os.path.join(self.contentlog_dir, f"iter={iteration}"))
         )
+        # fold the winners into the sig shards; gen = the iteration whose
+        # log the shards are synced through (the _recover() rebuild
+        # contract). Re-adding on a rollback replay is idempotent.
+        self.content_seen.add(
+            originals.select(
+                self._sig_shard_col().alias("partition_id"),
+                F.col("_sig").alias("fingerprint"),
+            )
+        )
+        self.content_seen.commit(iteration)
         # return the CACHED frame (caller drops _sig and unpersists this
         # handle — unpersisting a derived frame would leak the cache)
-        return originals, int(n_dups)
+        return originals, int(n_dups), int(n_maybe)
 
     def _conditional_split(self, feed: DataFrame, iteration: int, pids: list[int]):
         """Conditional re-fetch split (HTTP 304 / If-None-Match analog).
@@ -905,9 +980,11 @@ class CrawlLoop:
         # CRAWLED transition below but contribute no links
         link_src = results
         dedup_frame = None
-        n_content_dups = 0
+        n_content_dups = n_sig_maybe = 0
         if self.content_dedup:
-            dedup_frame, n_content_dups = self._content_dedup_split(results, iteration)
+            dedup_frame, n_content_dups, n_sig_maybe = self._content_dedup_split(
+                results, iteration
+            )
             link_src = dedup_frame.drop("_sig")
 
         # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
@@ -976,6 +1053,9 @@ class CrawlLoop:
             agg["n_not_modified"] = sum(n_notmod_by_pid.values())
         if self.content_dedup:
             agg["n_content_dups"] = n_content_dups
+            # bloom-maybe count: 0 ⇒ this iteration never read the
+            # signature log (the scale observable the tests pin)
+            agg["n_sig_maybe"] = n_sig_maybe
         if dedup_frame is not None:
             dedup_frame.unpersist()
         results.unpersist()

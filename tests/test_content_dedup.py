@@ -98,3 +98,111 @@ def test_dedup_within_single_batch(spark, tmp_path, mirrored_corpus_path):
     metrics = loop.run(max_iterations=4)
     assert sum(m["n_fetched"] for m in metrics) >= 2  # both URLs fetched
     assert sum(m.get("n_content_dups", 0) for m in metrics) >= 1
+
+def test_bloom_gate_skips_log_on_all_new_content(spark, tmp_path):
+    """A crawl of all-unique content must never read the signature log:
+    every iteration's bloom-maybe count is 0 (the n_sig_maybe observable),
+    while duplicates still register as maybes on the mirrored corpus."""
+    base = generate_corpus(spark, N, n_hosts=HOSTS, seed=SEED)
+    path = str(tmp_path / "plain")
+    base.write.parquet(path)
+    loop = CrawlLoop(
+        spark, str(tmp_path / "eng"), path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    loop.add_seeds([url_of(0, HOSTS)])
+    metrics = loop.run(max_iterations=30)
+    assert sum(m["n_fetched"] for m in metrics) == N
+    assert all(m.get("n_sig_maybe", 0) == 0 for m in metrics)
+    assert sum(m.get("n_content_dups", 0) for m in metrics) == 0
+
+
+def test_mirror_dup_registers_as_maybe(spark, tmp_path, mirrored_corpus_path):
+    """A CROSS-iteration duplicate (mirror seed scheduled after the
+    original's signature was committed) must register as a bloom maybe —
+    the path the within-batch window can't catch. Same-batch duplicates
+    (the other tests) are caught by the window BEFORE the bloom, so they
+    report n_sig_maybe == 0."""
+    wd = str(tmp_path / "eng")
+    loop = CrawlLoop(
+        spark, wd, mirrored_corpus_path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    loop.add_seeds([url_of(0, HOSTS)])
+    loop.run(max_iterations=30)  # originals fully crawled, sigs committed
+
+    loop.add_seeds(["https://mirror.example.test/i/img00000000"])
+    metrics2 = loop.run(max_iterations=4)
+    assert sum(m.get("n_sig_maybe", 0) for m in metrics2) >= 1
+    assert sum(m.get("n_content_dups", 0) for m in metrics2) == 1
+
+
+def test_resume_continues_content_dedup(spark, tmp_path, mirrored_corpus_path):
+    """Interrupt after 2 iterations; a NEW CrawlLoop on the same workdir
+    must end in the same crawl set as the uninterrupted run (shards and
+    logs picked up across process boundaries)."""
+    wd = str(tmp_path / "eng")
+    loop = CrawlLoop(
+        spark, wd, mirrored_corpus_path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    loop.add_seeds([url_of(0, HOSTS), "https://mirror.example.test/i/img00000000"])
+    loop.run(max_iterations=2)
+
+    loop2 = CrawlLoop(
+        spark, wd, mirrored_corpus_path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    metrics2 = loop2.run(max_iterations=30)
+    urls = {
+        r["canonical_url"]
+        for r in loop2.engine.table.read()
+        .filter(F.col("state") == STATE_CRAWLED)
+        .select("canonical_url")
+        .collect()
+    }
+    assert sum(1 for u in urls if u.startswith("https://mirror.")) == 1
+    assert sum(1 for u in urls if not u.startswith("https://mirror.")) == N
+
+
+def test_lost_shards_rebuilt_from_log(spark, tmp_path, mirrored_corpus_path):
+    """Delete the bloom shard files mid-crawl: _recover() must rebuild them
+    from the exact signature logs, so the mirror root (whose original was
+    crawled before the interruption) is still caught as a duplicate."""
+    import os, shutil
+
+    wd = str(tmp_path / "eng")
+    loop = CrawlLoop(
+        spark, wd, mirrored_corpus_path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    # original root first; the mirror root enters on resume
+    loop.add_seeds([url_of(0, HOSTS)])
+    loop.run(max_iterations=2)
+    shard_dir = os.path.join(wd, "contentlog", "seen_shards")
+    assert os.path.isdir(shard_dir) and os.listdir(shard_dir)
+    shutil.rmtree(shard_dir)
+
+    loop2 = CrawlLoop(
+        spark, wd, mirrored_corpus_path, corpus_seed=SEED,
+        strategy="bfs", batch_size=16, n_partitions=2, mode="global",
+        content_dedup=True,
+    )
+    loop2.add_seeds(["https://mirror.example.test/i/img00000000"])
+    metrics2 = loop2.run(max_iterations=30)
+    urls = {
+        r["canonical_url"]
+        for r in loop2.engine.table.read()
+        .filter(F.col("state") == STATE_CRAWLED)
+        .select("canonical_url")
+        .collect()
+    }
+    # without the rebuild the empty bloom says "definitely new" for the
+    # mirror root and its subtree gets scheduled
+    assert sum(1 for u in urls if u.startswith("https://mirror.")) == 1
+    assert sum(m.get("n_content_dups", 0) for m in metrics2) == 1
