@@ -461,7 +461,9 @@ class CrawlLoop:
         """Shard id for a content signature: sig % P (non-negative)."""
         return F.pmod(F.col("_sig"), F.lit(self.engine.n_partitions)).cast("int")
 
-    def _content_dedup_split(self, results: DataFrame, iteration: int):
+    def _content_dedup_split(
+        self, results: DataFrame, iteration: int, n_maybe: int, n_results: int
+    ):
         """Mirror detection: split this batch's (cached) results into
         first-occurrence originals and content duplicates.
 
@@ -469,14 +471,16 @@ class CrawlLoop:
         seq — the single-consumer discovery order, so "first occurrence"
         matches the reference's sequential semantics and is deterministic
         across partitionings) that is also absent from every PRIOR
-        iteration's signature log. The cross-iteration check is gated by
-        the sig-sharded bloom filters (core/seen.py): winners the bloom
-        calls "definitely new" skip the log entirely, and the exact
-        anti-join runs only when the batch has bloom-maybes — so a crawl
-        of mostly-new content pays O(batch) per iteration regardless of
-        how much it has already crawled. Returns (originals_frame,
-        n_duplicates, n_maybe); the originals' signatures are committed to
-        contentlog/iter=<i> and added to the shards."""
+        iteration's signature log. ``n_maybe`` is the bloom-maybe count the
+        caller already summed inside the lineage-counter job: 0 ⇒ every sig
+        is definitely new and the exact log is never read; the anti-join
+        runs only for the bloom-maybe minority — so a crawl of mostly-new
+        content pays exactly TWO extra actions per iteration (the log
+        write and the shard add, both O(batch)) regardless of how much it
+        has already crawled. The duplicate count falls out of the shard
+        add's return value (rows offered = winners), not a count job.
+        Returns (originals_frame, n_duplicates); the originals' signatures
+        are committed to contentlog/iter=<i> and folded into the shards."""
         from pyspark.sql.window import Window
 
         sigged = results.withColumn("_sig", self._content_sig(iteration))
@@ -485,26 +489,19 @@ class CrawlLoop:
             sigged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .withColumn(
-                "_maybe",
-                self.content_seen.maybe_seen_udf()(
-                    self._sig_shard_col(), F.col("_sig")
-                ),
-            )
         )
-        # the gate: one batch-sized count decides whether the exact log is
-        # touched at all (results is cached, so this re-runs only the
-        # window + bloom probe)
-        n_maybe = firsts.filter(F.col("_maybe")).count()
         dirs = self._content_log_dirs(iteration) if n_maybe else []
         if dirs:
+            probe = self.content_seen.maybe_seen_udf()
+            firsts = firsts.withColumn(
+                "_maybe", probe(self._sig_shard_col(), F.col("_sig"))
+            )
             known = self.spark.read.parquet(*dirs).select("sig").distinct()
             checked = firsts.filter(F.col("_maybe")).join(
                 known, firsts["_sig"] == known["sig"], "left_anti"
             )
-            firsts = firsts.filter(~F.col("_maybe")).unionByName(checked)
-        originals = firsts.drop("_maybe").cache()
-        n_dups = results.count() - originals.count()
+            firsts = firsts.filter(~F.col("_maybe")).unionByName(checked).drop("_maybe")
+        originals = firsts.cache()
         (
             originals.select(
                 "fingerprint",
@@ -519,7 +516,7 @@ class CrawlLoop:
         # fold the winners into the sig shards; gen = the iteration whose
         # log the shards are synced through (the _recover() rebuild
         # contract). Re-adding on a rollback replay is idempotent.
-        self.content_seen.add(
+        n_originals = self.content_seen.add(
             originals.select(
                 self._sig_shard_col().alias("partition_id"),
                 F.col("_sig").alias("fingerprint"),
@@ -528,7 +525,7 @@ class CrawlLoop:
         self.content_seen.commit(iteration)
         # return the CACHED frame (caller drops _sig and unpersists this
         # handle — unpersisting a derived frame would leak the cache)
-        return originals, int(n_dups), int(n_maybe)
+        return originals, int(n_results - n_originals)
 
     def _conditional_split(self, feed: DataFrame, iteration: int, pids: list[int]):
         """Conditional re-fetch split (HTTP 304 / If-None-Match analog).
@@ -927,19 +924,31 @@ class CrawlLoop:
         # resume **with per-partition lineage and counters**) — this collect
         # also fills the results cache; the fused merge gets the update
         # partitions for free (no probe job inside the engine)
-        mrows = (
-            results.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("n_fetched"),
-                F.sum(F.size(F.coalesce("out_links", F.array()))).alias("n_links"),
-                F.sum("n_bytes").alias("bytes_fetched"),
-                F.min("psnr").alias("psnr_min"),
-                F.count(F.when(~F.col("invariant_ok") | ~F.col("caption_ok"), 1)).alias(
-                    "invariant_violations"
-                ),
+        stats_src = results
+        agg_cols = [
+            F.count("*").alias("n_fetched"),
+            F.sum(F.size(F.coalesce("out_links", F.array()))).alias("n_links"),
+            F.sum("n_bytes").alias("bytes_fetched"),
+            F.min("psnr").alias("psnr_min"),
+            F.count(F.when(~F.col("invariant_ok") | ~F.col("caption_ok"), 1)).alias(
+                "invariant_violations"
+            ),
+        ]
+        if self.content_dedup:
+            # the content-dedup bloom gate rides inside this existing job:
+            # _maybe depends only on _sig, and every window winner's sig
+            # appears here, so "any maybe among results" == "any maybe
+            # among winners" — zero extra actions to decide whether the
+            # exact signature log must be read this iteration
+            stats_src = results.withColumn("_sig", self._content_sig(iteration))
+            agg_cols.append(
+                F.sum(
+                    self.content_seen.maybe_seen_udf()(
+                        self._sig_shard_col(), F.col("_sig")
+                    ).cast("long")
+                ).alias("n_sig_maybe")
             )
-            .collect()
-        )
+        mrows = stats_src.groupBy("partition_id").agg(*agg_cols).collect()
         # 404s arithmetically: every popped row either fetched or had no
         # corpus entry, so errors per partition = popped − fetched (no
         # anti-join count job). The errored ROWS themselves are only built
@@ -982,8 +991,12 @@ class CrawlLoop:
         dedup_frame = None
         n_content_dups = n_sig_maybe = 0
         if self.content_dedup:
-            dedup_frame, n_content_dups, n_sig_maybe = self._content_dedup_split(
-                results, iteration
+            n_sig_maybe = sum(int(r["n_sig_maybe"]) for r in mrows)
+            dedup_frame, n_content_dups = self._content_dedup_split(
+                results,
+                iteration,
+                n_maybe=n_sig_maybe,
+                n_results=sum(int(r["n_fetched"]) for r in mrows),
             )
             link_src = dedup_frame.drop("_sig")
 
