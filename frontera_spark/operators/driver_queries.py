@@ -2912,6 +2912,98 @@ FROM st
 """
 
 
+# ----------------------- R5: content-dedup split (crawl-path mirror handling)
+
+
+def q_content_dedup_split(spark, sf_dir):
+    """The crawl loop's content-level duplicate split (CrawlLoop.
+    _content_dedup_split, streaming/loop.py — mirror handling frontera never
+    had): per content signature, the FIRST occurrence in discovery order is
+    the original and every later row is a duplicate pointing at the
+    original's id. Signature = md5(text) over the documents table (doc_id is
+    the deterministic discovery order, matching the loop's seq contract).
+    One window over a single signature shuffle; `keep_doc_id` rides the
+    same partitioning, so the whole split is one exchange. Complements
+    exact_dup_groups (group sizes) with the row-level ACTION projection the
+    crawl path applies."""
+    w = Window.partitionBy("signature").orderBy("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("signature")
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("keep_doc_id", F.min("doc_id").over(Window.partitionBy("signature")))
+        .select(
+            "doc_id",
+            "signature",
+            F.when(F.col("_rn") == 1, F.lit("original"))
+            .otherwise(F.lit("duplicate"))
+            .alias("action"),
+            "keep_doc_id",
+        )
+    )
+
+
+SQL_CONTENT_DEDUP_SPLIT = """
+SELECT doc_id, md5(text) AS signature,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            THEN 'original' ELSE 'duplicate' END AS action,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+FROM documents
+"""
+
+
+# --------------------- R5: conditional re-fetch verdict (HTTP 304 analog)
+
+
+def q_conditional_refetch(spark, sf_dir):
+    """The conditional re-fetch verdict (CrawlLoop._conditional_split,
+    streaming/loop.py): compare the validator stored at the last fetch
+    (revisit state's last_sig) against the page's current content signature
+    — equal ⇒ not_modified (the body is never transferred; at 100 TB the
+    bytes column never leaves parquet), different or no stored state ⇒ full
+    fetch. Stored state is synthesized deterministically: doc_id % 3 == 0
+    has no state (first fetch), % 3 == 1 stored the current signature
+    (unchanged page), % 3 == 2 stored a stale one (changed page). The
+    verdict is a single equi-join on the page id — the loop's broadcast
+    probe at batch scale."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("cur_sig")
+    )
+    state = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 1, F.md5(F.encode(F.col("text"), "utf-8"))
+            )
+            .otherwise(F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "utf-8")))
+            .alias("last_sig"),
+        )
+    )
+    return docs.join(state, "doc_id", "left").select(
+        "doc_id",
+        "cur_sig",
+        F.when(F.col("last_sig") == F.col("cur_sig"), F.lit("not_modified"))
+        .otherwise(F.lit("fetch"))
+        .alias("action"),
+    )
+
+
+SQL_CONDITIONAL_REFETCH = """
+WITH docs AS (SELECT doc_id, md5(text) AS cur_sig FROM documents),
+state AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN md5(text) ELSE md5(text || 'x') END AS last_sig
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT d.doc_id, d.cur_sig,
+       CASE WHEN s.last_sig = d.cur_sig THEN 'not_modified' ELSE 'fetch' END AS action
+FROM docs d LEFT JOIN state s ON d.doc_id = s.doc_id
+"""
+
+
 # -------------------------------- R5: sitemap-index resolution (one level)
 
 
@@ -3004,8 +3096,13 @@ FROM d
 # pure-numpy baseline JPEG codec, sources/jpeg.py) enters the cap next to
 # payload_invariant, displacing ivf_cells (driver-green r3–r4; its scale
 # evidence — per-cell counts — stays pinned by the local gate and
-# test_round4_ops). After this round every registry entry has at least one
-# green driver row on record; the per-round map lives in COVERAGE.md.
+# test_round4_ops). Second late round-5 addition: content_dedup_split and
+# conditional_refetch — the crawl loop's mirror-handling split and HTTP-304
+# analog, the two loop features added latest this round — enter the cap,
+# displacing the TPC-H pair top_revenue_orders / pricing_summary (both
+# fully driver-green in r1, r2 AND r3; CORRECTNESS_r01-r03 on disk). After
+# this round every registry entry has at least one green driver row on
+# record; the per-round map lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -3028,10 +3125,10 @@ QUERIES = {
     "sitemap_extract": (q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "sitemap_index_seeds": (q_sitemap_index_seeds, SQL_SITEMAP_INDEX_SEEDS),
     "retry_schedule": (q_retry_schedule, SQL_RETRY_SCHEDULE),
+    "content_dedup_split": (q_content_dedup_split, SQL_CONTENT_DEDUP_SPLIT),
+    "conditional_refetch": (q_conditional_refetch, SQL_CONDITIONAL_REFETCH),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
     "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
@@ -3061,6 +3158,8 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "lsh_bucket_topk": (q_lsh_bucket_topk, SQL_LSH_BUCKET_TOPK),
