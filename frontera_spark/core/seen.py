@@ -50,8 +50,11 @@ def _shard_path(shard_dir: str, pid: int) -> str:
     return os.path.join(shard_dir, f"shard-{pid}.bin")
 
 
-def _write_shard(path: str, bloom: BloomFilter, cuckoo: CuckooFilter) -> None:
-    b, c = bloom.to_bytes(), cuckoo.to_bytes()
+def _write_shard(path: str, bloom: BloomFilter, cuckoo: CuckooFilter | None) -> None:
+    """``cuckoo=None`` writes a bloom-only shard (nc=0 in the header) — half
+    to a third the bytes through write+fsync+read on every update cycle."""
+    b = bloom.to_bytes()
+    c = cuckoo.to_bytes() if cuckoo is not None else b""
     blob = np.array([len(b), len(c)], dtype=np.int64).tobytes() + b + c
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "wb") as f:
@@ -68,6 +71,11 @@ def _read_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
         blob = f.read()
     nb, nc = np.frombuffer(blob[:16], dtype=np.int64)
     bloom = BloomFilter.from_bytes(blob[16 : 16 + int(nb)])
+    # nc == 0: bloom-only shard. The fresh empty cuckoo keeps the tuple
+    # interface; it is advisory-only everywhere, so emptiness is safe even
+    # if the same dir is later opened with bloom_only=False.
+    if int(nc) == 0:
+        return bloom, CuckooFilter(capacity)
     cuckoo = CuckooFilter.from_bytes(blob[16 + int(nb) : 16 + int(nb) + int(nc)])
     return bloom, cuckoo
 
@@ -91,10 +99,20 @@ def _cached_shard(path: str, capacity: int) -> tuple[BloomFilter, CuckooFilter]:
 
 
 class SeenShards:
-    def __init__(self, workdir: str, capacity: int = 1 << 20):
+    def __init__(self, workdir: str, capacity: int = 1 << 20, bloom_only: bool = False):
+        """``capacity`` is PER SHARD and fixes each shard file's size (the
+        bloom is 2 bytes/key of capacity whether or not it's full), which is
+        also the per-update IO bill: every add rewrites + fsyncs the touched
+        shard files and invalidates the per-worker cache, so every probe
+        stage after an add re-reads them. Size it to expected keys ÷ shard
+        count, not to a universal ceiling — overfilling only raises the
+        bloom FP rate (more exact-join work for "maybe" rows), never
+        correctness. ``bloom_only=True`` drops the cuckoo half (2/3 of the
+        bytes) for key sets that never need the delete path."""
         self.shard_dir = os.path.join(workdir, "seen_shards")
         os.makedirs(self.shard_dir, exist_ok=True)
         self.capacity = capacity
+        self.bloom_only = bloom_only
         self.manifest_path = os.path.join(self.shard_dir, "MANIFEST.json")
         self.last_cuckoo_failures = 0
 
@@ -117,24 +135,46 @@ class SeenShards:
 
     # ---------------------------------------------------------------- updates
 
-    def add(self, fps: DataFrame) -> int:
+    def add(self, fps: DataFrame, journal_dir: str | None = None) -> int:
         """Distributed shard update: df(partition_id, fingerprint) → each
         shard file extended and atomically replaced by its partition's task.
-        Returns rows added."""
+        Returns rows added.
+
+        ``journal_dir`` fuses the exact-log write into the SAME job: each
+        shard's task also writes its group's fingerprints as
+        ``<journal_dir>/shard-<pid>.parquet`` (column ``sig``) before
+        updating the filter — one Spark job where write-log + add-shards
+        would be two, and the log lands in parallel per shard instead of
+        through a coalesce(1) single task. Filenames are deterministic per
+        shard, so task retries and rollback replays overwrite idempotently;
+        the caller clears the directory first when replaying a shorter
+        iteration set."""
         shard_dir, capacity = self.shard_dir, self.capacity
+        bloom_only = self.bloom_only
 
         def update(pdf: pd.DataFrame) -> pd.DataFrame:
             pid = int(pdf["partition_id"].iloc[0])
+            vals = pdf["fingerprint"].to_numpy(dtype=np.int64)
+            if journal_dir is not None:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pa.table({"sig": vals}),
+                    os.path.join(journal_dir, f"shard-{pid}.parquet"),
+                )
             path = _shard_path(shard_dir, pid)
             bloom, cuckoo = _read_shard(path, capacity)
-            vals = pdf["fingerprint"].to_numpy(dtype=np.int64)
-            # cuckoo holds each fingerprint once: skip ones already present
-            # (a false positive here only weakens the pre-filter for that fp,
-            # never correctness — the exact join still runs for "maybe" rows)
-            fresh = vals[~cuckoo.contains_many(vals)]
-            n_failed = cuckoo.add_many(fresh)
+            n_failed = 0
+            if not bloom_only:
+                # cuckoo holds each fingerprint once: skip ones already
+                # present (a false positive here only weakens the pre-filter
+                # for that fp, never correctness — the exact join still runs
+                # for "maybe" rows)
+                fresh = vals[~cuckoo.contains_many(vals)]
+                n_failed = cuckoo.add_many(fresh)
             bloom.add_many(vals)
-            _write_shard(path, bloom, cuckoo)
+            _write_shard(path, bloom, None if bloom_only else cuckoo)
             # n_failed > 0 ⇒ the cuckoo shard is over capacity and is now
             # missing fingerprints — membership in it is advisory-only (the
             # bloom remains a strict superset; see classify())
@@ -161,6 +201,8 @@ class SeenShards:
         """Remove fingerprints from the cuckoo shards (physical evictions —
         TTL purges). Blooms can't delete; they stay supersets until the next
         rebuild, which only costs extra exact-join work, never correctness."""
+        if self.bloom_only:
+            raise RuntimeError("bloom-only shard set has no delete path")
         shard_dir, capacity = self.shard_dir, self.capacity
 
         def drop(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import time
 from collections.abc import Iterator
 
@@ -197,6 +198,7 @@ class CrawlLoop:
         retry: dict | None = None,
         flaky_hosts: dict | None = None,
         content_dedup: bool = False,
+        content_shard_capacity: int = 1 << 16,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -303,8 +305,18 @@ class CrawlLoop:
             from frontera_spark.core.seen import SeenShards
 
             # shards live at contentlog/seen_shards — beside the exact log
-            # they summarize, excluded from the iter=* glob
-            self.content_seen = SeenShards(self.contentlog_dir)
+            # they summarize, excluded from the iter=* glob. Bloom-only
+            # (content sigs are never deleted) and sized per shard by the
+            # knob: shard bytes = 2 × capacity, and every iteration pays
+            # write+fsync+reload of the touched shards, so an oversized
+            # capacity taxes EVERY iteration — size to expected crawl
+            # pages ÷ n_partitions (overfill only raises the bloom FP,
+            # costing extra exact-log checks, never correctness).
+            self.content_seen = SeenShards(
+                self.contentlog_dir,
+                capacity=content_shard_capacity,
+                bloom_only=True,
+            )
         # robots_txt: {host: robots.txt body} — ONE knob that derives the
         # whole robots stack (frontera analog: scrapy's RobotsTxtMiddleware
         # + DOWNLOAD_DELAY, per-process crawler settings; here both live in
@@ -448,13 +460,17 @@ class CrawlLoop:
     def _content_log_dirs(self, iteration: int) -> list[str]:
         """Signature-log dirs strictly below ``iteration`` — the
         rollback-exact read set (stale future logs are ignored, then
-        overwritten as a replay reaches them)."""
+        overwritten as a replay reaches them). Dirs with no parquet files
+        are skipped: legitimate when an iteration had zero winners, and the
+        safe reading of a dir created but never populated (a crash between
+        the replay's mkdir and the journaled add)."""
         import glob as _glob
 
         return [
             d
             for d in _glob.glob(os.path.join(self.contentlog_dir, "iter=*"))
             if int(d.rsplit("=", 1)[1]) < iteration
+            and any(f.endswith(".parquet") for f in os.listdir(d))
         ]
 
     def _sig_shard_col(self):
@@ -475,12 +491,13 @@ class CrawlLoop:
         caller already summed inside the lineage-counter job: 0 ⇒ every sig
         is definitely new and the exact log is never read; the anti-join
         runs only for the bloom-maybe minority — so a crawl of mostly-new
-        content pays exactly TWO extra actions per iteration (the log
-        write and the shard add, both O(batch)) regardless of how much it
-        has already crawled. The duplicate count falls out of the shard
+        content pays exactly ONE extra action per iteration: a journaled
+        shard add (core/seen.py) whose per-shard tasks write the winners'
+        signatures to contentlog/iter=<i>/shard-<s>.parquet AND fold them
+        into the bloom/cuckoo shards in the same O(batch) job, the log
+        landing in parallel per shard. The duplicate count falls out of the
         add's return value (rows offered = winners), not a count job.
-        Returns (originals_frame, n_duplicates); the originals' signatures
-        are committed to contentlog/iter=<i> and folded into the shards."""
+        Returns (originals_frame, n_duplicates)."""
         from pyspark.sql.window import Window
 
         sigged = results.withColumn("_sig", self._content_sig(iteration))
@@ -502,25 +519,21 @@ class CrawlLoop:
             )
             firsts = firsts.filter(~F.col("_maybe")).unionByName(checked).drop("_maybe")
         originals = firsts.cache()
-        (
-            originals.select(
-                "fingerprint",
-                "partition_id",
-                F.lit(iteration).alias("iteration"),
-                F.col("_sig").alias("sig"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.contentlog_dir, f"iter={iteration}"))
-        )
-        # fold the winners into the sig shards; gen = the iteration whose
-        # log the shards are synced through (the _recover() rebuild
-        # contract). Re-adding on a rollback replay is idempotent.
+        # journaled add: the winners' signatures land in the exact log AND
+        # the sig shards in one job; gen = the iteration whose log the
+        # shards are synced through (the _recover() rebuild contract).
+        # Re-adding on a rollback replay is idempotent — the directory is
+        # cleared first so a replayed (shorter) winner set leaves no stale
+        # shard files from the rolled-back run.
+        log_dir = os.path.join(self.contentlog_dir, f"iter={iteration}")
+        shutil.rmtree(log_dir, ignore_errors=True)
+        os.makedirs(log_dir, exist_ok=True)
         n_originals = self.content_seen.add(
             originals.select(
                 self._sig_shard_col().alias("partition_id"),
                 F.col("_sig").alias("fingerprint"),
-            )
+            ),
+            journal_dir=log_dir,
         )
         self.content_seen.commit(iteration)
         # return the CACHED frame (caller drops _sig and unpersists this
@@ -1195,6 +1208,12 @@ def main() -> None:
     ap.add_argument("--mode", default="global", choices=["global", "per_partition"])
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--content-dedup",
+        action="store_true",
+        help="mirror handling: drop links from pages whose body signature "
+        "was already crawled at another URL",
+    )
     args = ap.parse_args()
 
     from frontera_spark.session import get_spark
@@ -1214,6 +1233,7 @@ def main() -> None:
         max_per_host=args.max_per_host,
         n_partitions=args.partitions,
         mode=args.mode,
+        content_dedup=args.content_dedup,
     )
     if loop.engine.count() == 0:
         loop.add_seeds([url_of(0, args.n_hosts)])

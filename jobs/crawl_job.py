@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--mode", default="per_partition", choices=["global", "per_partition"])
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--max-iterations", type=int, default=10_000)
+    ap.add_argument(
+        "--content-dedup",
+        action="store_true",
+        help="mirror handling: drop links from pages whose body signature "
+        "was already crawled at another URL",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +70,7 @@ def main() -> None:
         max_per_host=args.max_per_host,
         n_partitions=args.partitions,
         mode=args.mode,
+        content_dedup=args.content_dedup,
     )
     if loop.engine.count() == 0:
         loop.add_seeds([url_of(0, args.n_hosts)])
