@@ -206,3 +206,27 @@ def test_lost_shards_rebuilt_from_log(spark, tmp_path, mirrored_corpus_path):
     # mirror root and its subtree gets scheduled
     assert sum(1 for u in urls if u.startswith("https://mirror.")) == 1
     assert sum(m.get("n_content_dups", 0) for m in metrics2) == 1
+
+
+def test_overfilled_content_shards_stay_exact(spark, tmp_path, mirrored_corpus_path):
+    """content_shard_capacity far below the crawl's signature count: the
+    bloom overfills (FP rate climbs toward 1, every sig reads as 'maybe')
+    but dedup results must be IDENTICAL — the exact log anti-join, not the
+    bloom, decides. Capacity is a cost knob, never a correctness knob."""
+    loop, metrics = _crawl(
+        spark, tmp_path, mirrored_corpus_path,
+        content_dedup=True, content_shard_capacity=4,
+    )
+    urls = {
+        r["canonical_url"]
+        for r in loop.engine.table.read()
+        .filter(F.col("state") == STATE_CRAWLED)
+        .select("canonical_url")
+        .collect()
+    }
+    assert sum(1 for u in urls if u.startswith("https://mirror.")) == 1
+    assert sum(1 for u in urls if not u.startswith("https://mirror.")) == N
+    assert sum(m.get("n_content_dups", 0) for m in metrics) == 1
+    # the overfilled bloom must actually be firing maybes (the point of
+    # the fixture) — otherwise this test isn't exercising the exact path
+    assert sum(m.get("n_sig_maybe", 0) for m in metrics) >= 1

@@ -156,3 +156,54 @@ def test_classify_routes_new_rows_around_the_join(spark, tmp_path):
     cand_dup = eng._prepare(_urls(spark, 0, 200))
     dup_tagged = eng.seen.classify(cand_dup)
     assert dup_tagged.filter(~F.col("_maybe_seen")).count() == 0
+
+
+def test_bloom_only_shards(spark, tmp_path):
+    """bloom_only=True: shard files shrink to the bloom half, adds and
+    probes behave identically, delete is refused."""
+    import os
+
+    from frontera_spark.core.seen import SeenShards, _shard_path
+
+    vals = _fps(2000)
+    rows = [(int(v) % 4, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "partition_id int, fingerprint long")
+
+    lean = SeenShards(str(tmp_path / "lean"), capacity=1 << 12, bloom_only=True)
+    full = SeenShards(str(tmp_path / "full"), capacity=1 << 12)
+    assert lean.add(df) == len(vals)
+    assert full.add(df) == len(vals)
+    lean_sz = sum(
+        os.path.getsize(_shard_path(lean.shard_dir, p)) for p in range(4)
+    )
+    full_sz = sum(
+        os.path.getsize(_shard_path(full.shard_dir, p)) for p in range(4)
+    )
+    assert lean_sz < full_sz / 2  # cuckoo half (2/3 of bytes) gone
+    # no false negatives through the bloom-only probe
+    maybe = {r["fingerprint"] for r in lean.maybe_seen(df).collect()}
+    assert maybe.issuperset({int(v) for v in vals})
+    with pytest.raises(RuntimeError):
+        lean.delete(df)
+
+
+def test_journaled_add_writes_log_and_updates_shards(spark, tmp_path):
+    """add(journal_dir=...) must land every group's fingerprints as a
+    per-shard parquet (column sig) AND fold them into the blooms in the
+    same job."""
+    import os
+
+    from frontera_spark.core.seen import SeenShards
+
+    rows = [(i % 3, 1000 + i) for i in range(300)]
+    df = spark.createDataFrame(rows, "partition_id int, fingerprint long")
+    shards = SeenShards(str(tmp_path / "s"), capacity=1 << 12, bloom_only=True)
+    jdir = str(tmp_path / "journal")
+    os.makedirs(jdir)
+    assert shards.add(df, journal_dir=jdir) == 300
+    files = sorted(os.listdir(jdir))
+    assert files == ["shard-0.parquet", "shard-1.parquet", "shard-2.parquet"]
+    logged = {r["sig"] for r in spark.read.parquet(jdir).collect()}
+    assert logged == {1000 + i for i in range(300)}
+    maybe = {r["fingerprint"] for r in shards.maybe_seen(df).collect()}
+    assert maybe.issuperset(logged)
