@@ -18,6 +18,10 @@ memory/__init__.py:~40-120 + utils/heap.py):
             ``schedule(request, score)`` online-prioritizer surface). Cash
             updates re-push a fresh heap entry; stale entries (key no longer
             matching the page's current cash) are skipped lazily at pop.
+    FOCUSED: same cash-ordered heap, shark-search link pricing — each link
+            inherits decay*(gamma*rel(parent text) + (1-gamma)*inherited)
+            at full strength (strategies.FocusedStrategy; ``focused=``
+            config carries query/decay/gamma/texts).
 ``seq`` is the global insertion order into the queue (discovery order).
 
 No Spark imports here — pure Python, deliberately boring.
@@ -68,13 +72,18 @@ class OracleFrontier:
     heap: list = field(default_factory=list)
     tokens: dict = field(default_factory=dict)  # host -> (tokens, last_refill)
     fetched: dict = field(default_factory=dict)  # host -> lifetime count
-    cash: dict = field(default_factory=dict)  # opic: canonical_url -> cash
-    seqs: dict = field(default_factory=dict)  # opic: canonical_url -> seq
-    pop_cash: dict = field(default_factory=dict)  # opic: cash at pop time
+    cash: dict = field(default_factory=dict)  # cash strategies: url -> cash
+    seqs: dict = field(default_factory=dict)  # cash strategies: url -> seq
+    pop_cash: dict = field(default_factory=dict)  # cash at pop time
+    # focused crawl config: {"query": str, "decay": float, "gamma": float,
+    # "texts": {canonical_url: page text}} — see strategies.FocusedStrategy
+    focused: dict | None = None
 
     @property
     def _opic(self) -> bool:
-        return self.strategy == "opic"
+        """True for cash-ordered strategies (opic and focused share the
+        greedy highest-cash-first heap; only link pricing differs)."""
+        return self.strategy in ("opic", "focused")
 
     def _host(self, url: str) -> str:
         from urllib.parse import urlsplit
@@ -225,7 +234,20 @@ class OracleFrontier:
         canon = canonicalize_url(parent_url)
         parent_depth = self.depths.get(canon, 0)
         share = 1.0
-        if self._opic and links:
+        if self.strategy == "focused" and links:
+            # shark-search pricing (strategies.FocusedStrategy): every link
+            # inherits decay*(gamma*rel(parent text) + (1-gamma)*inherited)
+            # at full strength — no out-degree split
+            from frontera_spark.core.strategies import query_tokens, relevance_py
+
+            cfg = self.focused or {}
+            rel = relevance_py(
+                cfg.get("texts", {}).get(canon, ""), query_tokens(cfg["query"])
+            )
+            inherited = self.pop_cash.get(canon, self.cash.get(canon, 1.0))
+            g = cfg.get("gamma", 0.5)
+            share = cfg.get("decay", 0.5) * (g * rel + (1.0 - g) * inherited)
+        elif self._opic and links:
             # pop-time cash splits equally over out-links (links later
             # dropped by depth/length/filters retire their share — matching
             # the engine, which prices before _prepare's guards)

@@ -33,11 +33,29 @@ scheduler's pandas walk.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable, ClassVar, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def query_tokens(query: str) -> list[str]:
+    """Distinct lowercase alphanumeric tokens of a focus query, sorted —
+    the one tokenizer both the Spark relevance expression and the Python
+    oracle use, so relevance fractions agree bit-exactly."""
+    return sorted({t for t in re.split(_TOKEN_SPLIT, query.lower()) if t})
+
+
+def relevance_py(text: str, qtokens: list[str]) -> float:
+    """|tokens(text) ∩ qtokens| / |qtokens| — the Python mirror of
+    :meth:`FocusedStrategy.relevance` (identical single division, so the
+    result is the same IEEE double the Spark expression produces)."""
+    toks = {t for t in re.split(_TOKEN_SPLIT, text.lower()) if t}
+    return len(toks & set(qtokens)) / float(len(qtokens))
 
 
 @dataclass(frozen=True)
@@ -94,6 +112,26 @@ class Strategy:
             )
         raise ValueError(self.name)
 
+    # ---- link-cash pricing surface (strategies with accumulates_cash) ----
+    # The crawl loop prices each extracted link off its parent's pop-time
+    # row: ``parent_cash_frame`` supplies a per-parent (seq, score) frame and
+    # ``link_cash`` turns that score + the parent's out-degree into the
+    # link's ``_cash``. Defaults implement OPIC (cash splits over
+    # out-links); FocusedStrategy overrides both. ``price_links_py`` is the
+    # single-threaded mirror core/tester.py uses.
+
+    def parent_cash_frame(self, feed: DataFrame, results: DataFrame) -> DataFrame:
+        """(seq, score) pricing frame for this batch's parents — default:
+        the feed's pop-time scores (OPIC's cash ledger)."""
+        return feed.select("seq", "score")
+
+    def link_cash(self, pscore: Column, nout: Column) -> Column:
+        """Per-link cash from parent score + out-degree (OPIC: split)."""
+        return pscore / nout
+
+    def price_links_py(self, pop_score: float, nout: int, text: str = "") -> float:
+        return pop_score / nout
+
 
 @dataclass(frozen=True)
 class OpicStrategy(Strategy):
@@ -134,6 +172,82 @@ class OpicStrategy(Strategy):
         # cash is bounded by total seed mass, so 1e12 quantization fits
         # int64 up to ~9.2M seeds of unit cash
         return -F.floor(F.col("score") * F.lit(1e12)).cast("long"), F.col("seq")
+
+
+@dataclass(frozen=True)
+class FocusedStrategy(OpicStrategy):
+    """Focused (topic-directed) crawling — the shark-search family
+    (Hersovici et al., WWW8 '98; cf. Chakrabarti's focused crawler,
+    WWW8 '99), the strategy tier frontera deployments built on
+    ``BaseCrawlingStrategy.schedule(request, score)`` with a hand-rolled
+    relevance model (frontera/strategy/__init__.py:~100-120 gives the
+    hook; frontera itself ships no relevance scorer).
+
+    Frontier priority = *anticipated relevance* inherited from the link's
+    parents. When a page is fetched, its relevance is measured from the
+    CAPTION the fetch decoded (token overlap with ``query`` — deterministic,
+    vocabulary-free), and every extracted link inherits
+
+        cash = decay * (gamma * rel(parent_caption)
+                        + (1 - gamma) * parent_inherited_score)
+
+    — shark-search's depth-decayed blend of the parent's own relevance and
+    the relevance it inherited. Links are NOT divided by out-degree (unlike
+    OPIC): a relevant hub funds each child at full strength. Cash addressed
+    to an already-queued child ACCUMULATES (sum over parents — the one
+    deviation from shark-search's max, chosen because it rides the engine's
+    existing additive-cash MERGE and keeps multi-parent evidence additive);
+    seeds enter at 1.0 so the crawl starts breadth-greedy until real
+    relevance signal arrives.
+
+    With dyadic ``decay``/``gamma`` and a power-of-two query-token count,
+    every cash value is an exact binary fraction — engine and single-thread
+    oracle orders then compare bit-exactly (same trick as the OPIC tests).
+    """
+
+    name: str = "focused"
+    query: str = ""
+    decay: float = 0.5
+    gamma: float = 0.5
+
+    def __post_init__(self):
+        if not query_tokens(self.query):
+            raise ValueError("FocusedStrategy needs a non-empty query")
+
+    def relevance(self, text: Column) -> Column:
+        """|tokens(text) ∩ query tokens| / |query tokens| in [0, 1] — pure
+        codegen (split + array_intersect), no UDF."""
+        q = query_tokens(self.query)
+        inter = F.array_intersect(
+            F.split(F.lower(text), _TOKEN_SPLIT), F.array(*[F.lit(t) for t in q])
+        )
+        return F.size(inter) / F.lit(float(len(q)))
+
+    def cash_of(self, rel: Column, inherited: Column) -> Column:
+        """The shark-search pricing formula as a column (shared by the live
+        loop and the driver query so both exercise one code path)."""
+        return F.lit(self.decay) * (
+            F.lit(self.gamma) * rel + F.lit(1.0 - self.gamma) * inherited
+        )
+
+    def parent_cash_frame(self, feed: DataFrame, results: DataFrame) -> DataFrame:
+        """Parent pricing joins the fetch results' captions (relevance
+        source) with the feed's pop-time scores (inheritance source) — a
+        batch×batch broadcast join, no shuffle."""
+        joined = results.select("seq", "caption").join(
+            F.broadcast(feed.select("seq", "score")), "seq"
+        )
+        cash = self.cash_of(self.relevance(F.col("caption")), F.col("score"))
+        return joined.select("seq", cash.alias("score"))
+
+    def link_cash(self, pscore: Column, nout: Column) -> Column:
+        """Full-strength inheritance: every child gets the parent's priced
+        cash (no out-degree split)."""
+        return pscore
+
+    def price_links_py(self, pop_score: float, nout: int, text: str = "") -> float:
+        rel = relevance_py(text, query_tokens(self.query))
+        return self.decay * (self.gamma * rel + (1.0 - self.gamma) * pop_score)
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,7 @@ def run_crawl(
     max_per_host: int | None = None,
     max_iterations: int = 1000,
     mode: str = "global",
+    page_texts: dict[str, str] | None = None,
 ) -> tuple[list[str], dict]:
     """Crawl to exhaustion; return (fetch order, {canonical_url: state})."""
     spark = engine.spark
@@ -39,8 +40,17 @@ def run_crawl(
         order.extend(r.canonical_url for r in rows)
         engine.page_crawled(batch)
         opic = engine.strategy.accumulates_cash
+        texts = page_texts or {}
         links = [
-            (link, r.seq, pos, r.depth + 1, r.score / len(out))
+            (
+                link,
+                r.seq,
+                pos,
+                r.depth + 1,
+                engine.strategy.price_links_py(
+                    r.score, len(out), texts.get(r.canonical_url, "")
+                ),
+            )
             for r in rows
             for out in [graph.get(r.canonical_url, [])]
             for pos, link in enumerate(out)

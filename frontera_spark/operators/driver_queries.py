@@ -2665,6 +2665,108 @@ FROM s3 ORDER BY importance DESC, doc_id LIMIT 20"""
 SQL_OPIC_SCORES = _opic_sql()
 
 
+# ------------------------------------- R5: focused-crawl (shark-search) pricing
+
+
+def q_focused_scores(spark, sf_dir):
+    """One round of focused-crawl link pricing (core/strategies.
+    FocusedStrategy — shark-search, Hersovici et al. WWW8): parent pages at
+    seed inheritance 1.0 price each out-link at decay*(gamma*rel +
+    (1-gamma)*1.0), where rel = token overlap between the page TEXT and the
+    focus query ("spark query join stream", 4 tokens → dyadic fractions,
+    exact cross-engine float sums); a child's frontier priority is the SUM
+    over its in-edges. Same deterministic graph as opic/pagerank. Exercises
+    the exact `relevance`/`cash_of` columns the live CrawlLoop prices links
+    with. Plan: docs-projection join on src (no bytes), one hash agg on dst."""
+    from frontera_spark.core.strategies import FocusedStrategy
+
+    strat = FocusedStrategy(query="spark query join stream")
+    docs_txt = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _docs, edges, _n = _doc_graph(spark, sf_dir)
+    priced = docs_txt.select(
+        F.col("doc_id").alias("src"),
+        strat.cash_of(strat.relevance(F.col("text")), F.lit(1.0)).alias("_pscore"),
+    )
+    return (
+        edges.join(priced, "src")
+        .groupBy("dst")
+        .agg(F.sum("_pscore").alias("priority"))
+        .select(F.col("dst").cast("bigint").alias("doc_id"), "priority")
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_FOCUSED_SCORES = """
+WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+rel AS (
+  SELECT doc_id,
+         0.5 * (0.5 * (CAST(len(list_intersect(
+                  list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')),
+                  ['join', 'query', 'spark', 'stream'])) AS DOUBLE) / 4.0)
+                + 0.5 * 1.0) AS pscore
+  FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + j.j) % (SELECT n FROM nn) AS dst
+  FROM documents d JOIN (VALUES (1), (2), (3)) j(j) ON j.j <= 1 + d.doc_id % 3)
+SELECT CAST(e.dst AS BIGINT) AS doc_id, SUM(r.pscore) AS priority
+FROM edges e JOIN rel r ON r.doc_id = e.src
+GROUP BY e.dst
+ORDER BY priority DESC, doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------- R5: WARC archival record sink
+
+
+def q_warc_records(spark, sf_dir):
+    """WARC 1.0 record framing (sources/warc.warc_record — ISO 28500, the
+    Heritrix/Common Crawl archive format): exact record BYTES for a slice of
+    the documents table as a pure-codegen binary column — deterministic
+    record IDs (<urn:md5:md5(uri)>), spec Content-Length = payload octet
+    count, CRLF framing. The oracle rebuilds the identical bytes in SQL, so
+    a hash match pins the whole binary layout, not just lengths."""
+    from frontera_spark.sources.warc import WARC_TEST_DATE, warc_record
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(50)
+    url = F.concat(F.lit("https://corpus.test/doc/"), F.col("doc_id").cast("string"))
+    payload = F.encode(F.col("text"), "UTF-8")
+    rec = warc_record(url, payload, F.lit("text/plain"), F.lit(WARC_TEST_DATE))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(F.lit("<urn:md5:"), F.md5(url), F.lit(">")).alias("record_id"),
+        F.length(payload).cast("bigint").alias("content_length"),
+        rec.alias("record"),
+    ).orderBy("doc_id")
+
+
+SQL_WARC_RECORDS = """
+WITH nl AS (SELECT chr(13) || chr(10) AS c),
+d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+r AS (
+  SELECT doc_id, text,
+         'https://corpus.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(octet_length(encode(text)) AS VARCHAR) AS clen
+  FROM d)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       '<urn:md5:' || md5(r.url) || '>' AS record_id,
+       CAST(octet_length(encode(r.text)) AS BIGINT) AS content_length,
+       encode(
+         'WARC/1.0' || nl.c ||
+         'WARC-Type: response' || nl.c ||
+         'WARC-Record-ID: <urn:md5:' || md5(r.url) || '>' || nl.c ||
+         'WARC-Date: 2026-01-01T00:00:00Z' || nl.c ||
+         'WARC-Target-URI: ' || r.url || nl.c ||
+         'Content-Type: text/plain' || nl.c ||
+         'Content-Length: ' || r.clen || nl.c || nl.c ||
+         r.text || nl.c || nl.c
+       ) AS record
+FROM r, nl
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- R4: hot-host salting plan
 
 
@@ -3173,4 +3275,6 @@ QUERIES = {
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "focused_scores": (q_focused_scores, SQL_FOCUSED_SCORES),
+    "warc_records": (q_warc_records, SQL_WARC_RECORDS),
 }

@@ -138,14 +138,20 @@ def fetch_stage(
     return joined.mapInPandas(decode, FETCH_RESULT_SCHEMA)
 
 
-def extract_links(results: DataFrame, parent_scores: DataFrame | None = None) -> DataFrame:
+def extract_links(
+    results: DataFrame,
+    parent_scores: DataFrame | None = None,
+    cash_fn=None,
+) -> DataFrame:
     """links_extracted input: (url, parent_seq, link_pos, depth) rows in the
     exact order the single-consumer reference ingests them.
 
-    ``parent_scores`` (seq, _pscore — the feed batch's pop-time scores)
-    turns on OPIC link pricing: each link carries ``_cash = parent's
-    pop-time cash / outdeg``. The join is batch×batch and the feed side is
-    broadcast, so the pricing adds no shuffle."""
+    ``parent_scores`` (seq, score — the strategy's per-parent pricing frame,
+    ``Strategy.parent_cash_frame``) turns on cash link pricing: each link
+    carries ``_cash = cash_fn(parent score, outdeg)`` (default: OPIC's
+    score/outdeg split; FocusedStrategy passes its full-strength
+    inheritance). The join is batch×batch and the pricing side is
+    broadcast, so it adds no shuffle."""
     links = results.select(
         F.col("seq").alias("parent_seq"),
         (F.col("depth") + 1).alias("depth"),
@@ -153,6 +159,8 @@ def extract_links(results: DataFrame, parent_scores: DataFrame | None = None) ->
         F.posexplode("out_links").alias("link_pos", "url"),
     )
     if parent_scores is not None:
+        if cash_fn is None:
+            cash_fn = lambda pscore, nout: pscore / nout  # noqa: E731
         links = links.join(
             F.broadcast(
                 parent_scores.select(
@@ -160,7 +168,7 @@ def extract_links(results: DataFrame, parent_scores: DataFrame | None = None) ->
                 )
             ),
             "parent_seq",
-        ).withColumn("_cash", F.col("_pscore") / F.col("_nout"))
+        ).withColumn("_cash", cash_fn(F.col("_pscore"), F.col("_nout")))
         return links.select("url", "parent_seq", "link_pos", "depth", "_cash")
     return links.select("url", "parent_seq", "link_pos", "depth")
 
@@ -1015,13 +1023,15 @@ class CrawlLoop:
 
         # fully fused spider-log ingestion: CRAWLED/ERROR transitions AND the
         # new links' QUEUED inserts land in ONE MERGE commit per iteration
+        strat = self.engine.strategy
         links = extract_links(
             link_src,
             parent_scores=(
-                feed.select("seq", "score")
-                if self.engine.strategy.accumulates_cash
+                strat.parent_cash_frame(feed, link_src)
+                if strat.accumulates_cash
                 else None
             ),
+            cash_fn=strat.link_cash,
         )
         crawled = results
         if notmod is not None:
