@@ -3202,9 +3202,15 @@ FROM d
 # conditional_refetch — the crawl loop's mirror-handling split and HTTP-304
 # analog, the two loop features added latest this round — enter the cap,
 # displacing the TPC-H pair top_revenue_orders / pricing_summary (both
-# fully driver-green in r1, r2 AND r3; CORRECTNESS_r01-r03 on disk). After
-# this round every registry entry has at least one green driver row on
-# record; the per-round map lives in COVERAGE.md.
+# fully driver-green in r1, r2 AND r3; CORRECTNESS_r01-r03 on disk). Third
+# late round-5 addition: focused_scores (shark-search link pricing — the
+# new FocusedStrategy's live formula) and warc_records (WARC 1.0 record
+# bytes, oracle hash-pins the binary layout) enter the cap, displacing
+# embed_neardup_pairs (driver-green r1–r4) and lsh_neardup_pairs
+# (driver-green r2–r4) — both stay pinned by the local sf0.001 gate, their
+# recall tests, and bench.py. After this round every registry entry has at
+# least one green driver row on record; the per-round map lives in
+# COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -3232,11 +3238,11 @@ QUERIES = {
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
-    "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
+    "focused_scores": (q_focused_scores, SQL_FOCUSED_SCORES),
+    "warc_records": (q_warc_records, SQL_WARC_RECORDS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
     "lsh_neardup_pairs_t08": (q_lsh_neardup_pairs_t08, SQL_LSH_NEARDUP_PAIRS_T08),
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
@@ -3275,6 +3281,6 @@ QUERIES = {
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "simhash_signature": (q_simhash_signature, SQL_SIMHASH_SIGNATURE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "focused_scores": (q_focused_scores, SQL_FOCUSED_SCORES),
-    "warc_records": (q_warc_records, SQL_WARC_RECORDS),
+    "embed_neardup_pairs": (q_embed_neardup_pairs, SQL_EMBED_NEARDUP_PAIRS),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, SQL_LSH_NEARDUP_PAIRS),
 }
