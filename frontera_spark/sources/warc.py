@@ -105,27 +105,64 @@ def _gzip_member(raw: bytes) -> bytes:
     return buf.getvalue()
 
 
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) — the canonical CDX
+    index key (public pywb/OpenWayback convention): reversed
+    comma-separated host + ``)`` + path?query, scheme and port dropped,
+    lowercased. ``https://img.Example.test/p?q=1`` →
+    ``test,example,img)/p?q=1``."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = parts.netloc.partition(":")[0].lower()
+    key = ",".join(reversed(host.split("."))) + ")" + (parts.path or "/")
+    if parts.query:
+        key += "?" + parts.query
+    return key.lower()
+
+
+def _payload_digest(payload: bytes) -> str:
+    """``sha1:<base32>`` — the WARC-Payload-Digest convention CDX carries."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
+
 def write_warc(
     records: DataFrame,
     path: str,
     record_col: str = "record",
     date: str = WARC_TEST_DATE,
     compress: bool = True,
+    index: bool = False,
 ) -> pd.DataFrame:
     """Write one ``part-{pid:05d}.warc[.gz]`` per partition of ``records``
     (single mapInPandas pass, no shuffle; partition id from TaskContext so a
     re-run overwrites the same files with the same bytes). Returns the
     per-part manifest (part, n_records, n_bytes, file) as a pandas frame —
-    O(partitions), the write itself never moves rows to the driver."""
+    O(partitions), the write itself never moves rows to the driver.
+
+    ``index=True`` additionally writes a ``part-{pid:05d}.cdxj`` sidecar
+    per part (pywb's CDXJ layout: SURT key, 14-digit timestamp, JSON blob
+    with url/digest/offset/length/filename), lines sorted by key — the
+    random-access map :func:`fetch_record` serves one gzip member from.
+    Offsets/lengths are MEMBER offsets, so a reader seeks + inflates one
+    record without touching the rest of the file — the property that lets
+    a 100 TB archive serve point lookups."""
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}{ext}")
+        base = os.path.basename(fname)
         n = 0
+        idx_lines = []
         tmp = fname + ".inprogress"
         with open(tmp, "wb") as fh:
             info = _warcinfo_bytes(date, pid)
@@ -133,9 +170,35 @@ def write_warc(
             for pdf in batches:
                 for raw in pdf[record_col]:
                     raw = bytes(raw)
-                    fh.write(_gzip_member(raw) if compress else raw)
+                    member = _gzip_member(raw) if compress else raw
+                    if index:
+                        rec = parse_warc_bytes(raw)[0]
+                        ts = "".join(c for c in rec["warc_date"] if c.isdigit())
+                        idx_lines.append(
+                            surt_key(rec["target_uri"])
+                            + " "
+                            + ts
+                            + " "
+                            + json.dumps(
+                                {
+                                    "url": rec["target_uri"],
+                                    "mime": rec["content_type"],
+                                    "digest": _payload_digest(rec["payload"]),
+                                    "offset": fh.tell(),
+                                    "length": len(member),
+                                    "filename": base,
+                                },
+                                sort_keys=True,
+                            )
+                        )
+                    fh.write(member)
                     n += 1
         os.replace(tmp, fname)  # atomic publish, crash-safe partial files
+        if index:
+            itmp = os.path.join(path, f"part-{pid:05d}.cdxj.inprogress")
+            with open(itmp, "w") as ih:
+                ih.write("\n".join(sorted(idx_lines)) + ("\n" if idx_lines else ""))
+            os.replace(itmp, os.path.join(path, f"part-{pid:05d}.cdxj"))
         yield pd.DataFrame(
             {
                 "part": pd.Series([pid], dtype="int32"),
@@ -151,6 +214,67 @@ def write_warc(
         .toPandas()
     )
     return manifest.sort_values("part").reset_index(drop=True)
+
+
+CDX_SCHEMA = (
+    "surt string, timestamp string, url string, mime string, digest string, "
+    "offset long, length long, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """The archive's index as a DataFrame (one task per sidecar): join a
+    URL batch against it to locate records, then :func:`fetch_record` the
+    hits — the distributed point-lookup path into a WARC archive."""
+    import json
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in CDX_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for line in bytes(content).decode().splitlines():
+                    if not line.strip():
+                        continue
+                    key, ts, blob = line.split(" ", 2)
+                    d = json.loads(blob)
+                    rows.append(
+                        {
+                            "surt": key,
+                            "timestamp": ts,
+                            "url": d["url"],
+                            "mime": d.get("mime", ""),
+                            "digest": d.get("digest", ""),
+                            "offset": d["offset"],
+                            "length": d["length"],
+                            "filename": d["filename"],
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "part-*.cdxj")
+    ).select("content")
+    return files.mapInPandas(_parse, CDX_SCHEMA)
+
+
+def fetch_record(archive_dir: str, filename: str, offset: int, length: int) -> dict:
+    """Random access: seek to a CDX entry's member, inflate that one
+    member, parse the single record — O(record), independent of archive
+    size. Plain ``.warc`` members are raw record bytes at the same
+    offsets."""
+    with open(os.path.join(archive_dir, filename), "rb") as fh:
+        fh.seek(offset)
+        member = fh.read(length)
+    raw = gzip.decompress(member) if filename.endswith(".gz") else member
+    recs = parse_warc_bytes(raw, filename)
+    if len(recs) != 1:
+        raise ValueError(f"{filename}@{offset}+{length}: expected 1 record, got {len(recs)}")
+    return recs[0]
 
 
 def parse_warc_bytes(raw: bytes, source: str = "") -> list[dict]:

@@ -71,7 +71,7 @@ def archive_crawled(spark, frontier_df, corpus_df, output: str, date: str | None
             F.lit(date or WARC_TEST_DATE),
         ).alias("record")
     )
-    return write_warc(recs, output)
+    return write_warc(recs, output, index=True)
 
 
 def main() -> None:

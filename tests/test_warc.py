@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 
 from frontera_spark.sources.warc import (
     WARC_TEST_DATE,
+    fetch_record,
     parse_warc_bytes,
+    read_cdx,
     read_warc,
+    surt_key,
     warc_record,
     write_warc,
 )
@@ -109,6 +112,59 @@ def test_archive_bytes_deterministic(spark, tmp_path, pages):
     m2 = write_warc(recs, str(tmp_path / "b"))
     for f1, f2 in zip(m1["file"], m2["file"]):
         assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_surt_key_transform():
+    assert surt_key("https://img.Example.test:8443/P?q=1") == "test,example,img)/p?q=1"
+    assert surt_key("http://a.b.c/") == "c,b,a)/"
+    assert surt_key("https://x.test") == "test,x)/"
+
+
+def test_cdx_index_random_access(spark, tmp_path, pages):
+    """CDXJ sidecars (index=True): every response record is indexed with
+    its member offset/length; fetch_record seeks + inflates exactly one
+    member and returns the identical payload a full scan sees — the
+    point-lookup path into a large archive."""
+    out = str(tmp_path / "idx")
+    write_warc(_records_df(pages).repartition(2, "url"), out, index=True)
+
+    idx = read_cdx(spark, out)
+    rows = idx.collect()
+    assert len(rows) == pages.count()  # warcinfo records are not indexed
+    exp = {r.url: bytes(r.payload) for r in pages.collect()}
+    import base64
+    import hashlib
+
+    for r in rows:
+        assert r.surt == surt_key(r.url)
+        assert r.timestamp == "20260101000000"
+        rec = fetch_record(out, r.filename, r.offset, r.length)
+        assert rec["warc_type"] == "response"
+        assert rec["target_uri"] == r.url
+        assert rec["payload"] == exp[r.url]
+        digest = "sha1:" + base64.b32encode(hashlib.sha1(exp[r.url]).digest()).decode()
+        assert r.digest == digest
+    # sidecar lines are sorted by SURT key within each part
+    import glob
+
+    for f in glob.glob(out + "/part-*.cdxj"):
+        keys = [ln.split(" ", 1)[0] for ln in open(f).read().splitlines() if ln]
+        assert keys == sorted(keys)
+
+
+def test_cdx_lookup_join_locates_urls(spark, tmp_path, pages):
+    """Distributed lookup: join a URL batch against the index frame, fetch
+    only the hits (how a 100 TB archive serves point reads)."""
+    out = str(tmp_path / "lkp")
+    write_warc(_records_df(pages).repartition(2, "url"), out, index=True)
+    want = [r.url for r in pages.limit(2).collect()]
+    idx = read_cdx(spark, out)
+    batch = spark.createDataFrame([(u,) for u in want], "url string")
+    hits = idx.join(F.broadcast(batch), "url").collect()
+    assert sorted(h.url for h in hits) == sorted(want)
+    exp = {r.url: bytes(r.payload) for r in pages.collect()}
+    for h in hits:
+        assert fetch_record(out, h.filename, h.offset, h.length)["payload"] == exp[h.url]
 
 
 def test_archive_crawled_job_covers_crawled_set(spark, tmp_path):
