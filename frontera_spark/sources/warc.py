@@ -48,8 +48,14 @@ _CRLF = "\r\n"
 
 WARC_READ_SCHEMA = (
     "source_file string, warc_type string, record_id string, warc_date string, "
-    "target_uri string, content_type string, content_length long, payload binary"
+    "target_uri string, content_type string, content_length long, payload binary, "
+    "payload_digest string, refers_to string, profile string"
 )
+
+# WARC 1.0 §6.7.2: a ``revisit`` record with this profile archives a page
+# whose payload digest matches an earlier capture WITHOUT storing the body
+# again — the Heritrix/Common Crawl mirror-dedup convention
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
 
 
 def warc_record(
@@ -77,6 +83,32 @@ def warc_record(
         F.lit(_CRLF + _CRLF),
     )
     return F.concat(F.encode(header, "UTF-8"), payload, F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
+
+
+def warc_revisit_record(
+    url: Column,
+    refers_to: Column,
+    digest: Column,
+    date: Column,
+) -> Column:
+    """A ``revisit`` record (identical-payload-digest profile): archives a
+    duplicate capture as a REFERENCE — refers-to URI + payload digest,
+    Content-Length 0 — instead of storing the body twice. Pure codegen,
+    like :func:`warc_record`. ``digest`` is the labelled digest of the
+    referred payload (``sha1:<hex>`` — pair with ``F.sha1(bytes)``)."""
+    record_id = F.concat(F.lit("<urn:md5:"), F.md5(url), F.lit(">"))
+    header = F.concat(
+        F.lit(WARC_VERSION + _CRLF),
+        F.lit("WARC-Type: revisit" + _CRLF),
+        F.lit("WARC-Record-ID: "), record_id, F.lit(_CRLF),
+        F.lit("WARC-Date: "), date, F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Profile: " + REVISIT_PROFILE + _CRLF),
+        F.lit("WARC-Refers-To-Target-URI: "), refers_to, F.lit(_CRLF),
+        F.lit("WARC-Payload-Digest: "), digest, F.lit(_CRLF),
+        F.lit("Content-Length: 0" + _CRLF + _CRLF),
+    )
+    return F.concat(F.encode(header, "UTF-8"), F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
 
 
 def _warcinfo_bytes(date: str, part: int) -> bytes:
@@ -122,11 +154,14 @@ def surt_key(url: str) -> str:
 
 
 def _payload_digest(payload: bytes) -> str:
-    """``sha1:<base32>`` — the WARC-Payload-Digest convention CDX carries."""
-    import base64
+    """``sha1:<hex>`` — the labelled-digest form (spec §5.8 allows any
+    encoding as long as it is labelled). Hex rather than the Common Crawl
+    base32 so the Python CDX digest and the codegen ``F.sha1`` column the
+    dedup path groups on are the SAME string — one digest vocabulary
+    across index, revisit records, and the dedup join."""
     import hashlib
 
-    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+    return "sha1:" + hashlib.sha1(payload).hexdigest()
 
 
 def write_warc(
@@ -183,7 +218,10 @@ def write_warc(
                                 {
                                     "url": rec["target_uri"],
                                     "mime": rec["content_type"],
-                                    "digest": _payload_digest(rec["payload"]),
+                                    # revisit records carry the referred
+                                    # payload's digest in their own header
+                                    "digest": rec["payload_digest"]
+                                    or _payload_digest(rec["payload"]),
                                     "offset": fh.tell(),
                                     "length": len(member),
                                     "filename": base,
@@ -312,6 +350,9 @@ def parse_warc_bytes(raw: bytes, source: str = "") -> list[dict]:
                 "content_type": fields.get("content-type", ""),
                 "content_length": clen,
                 "payload": raw[block_start : block_start + clen],
+                "payload_digest": fields.get("warc-payload-digest", ""),
+                "refers_to": fields.get("warc-refers-to-target-uri", ""),
+                "profile": fields.get("warc-profile", ""),
             }
         )
         pos = block_start + clen

@@ -38,14 +38,28 @@ if _ROOT not in sys.path:
 
 
 def archive_crawled(spark, frontier_df, corpus_df, output: str, date: str | None = None,
-                    n_parts: int = 0):
+                    n_parts: int = 0, dedup: bool = False):
     """Archive every CRAWLED frontier row whose payload the corpus holds;
     returns the per-part manifest (pandas). Column-pruned scans, broadcast
-    crawled-slice join, shuffle only for the explicit host repartition."""
+    crawled-slice join, shuffle only for the explicit host repartition.
+
+    ``dedup=True`` applies WARC's identical-payload-digest convention
+    (spec §6.7.2 — the Heritrix mirror-handling idea the crawl loop's
+    content_dedup applies to LINKS): per sha1 digest, the first URL
+    (min) stores the full response; every other capture becomes a
+    zero-payload ``revisit`` record referencing it. One digest shuffle;
+    only canonical rows carry ``bytes`` into record building, so a
+    mirror-heavy corpus archives at the size of its distinct content."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from frontera_spark import STATE_CRAWLED
-    from frontera_spark.sources.warc import WARC_TEST_DATE, warc_record, write_warc
+    from frontera_spark.sources.warc import (
+        WARC_TEST_DATE,
+        warc_record,
+        warc_revisit_record,
+        write_warc,
+    )
 
     crawled = (
         frontier_df.filter(F.col("state") == STATE_CRAWLED)
@@ -63,15 +77,27 @@ def archive_crawled(spark, frontier_df, corpus_df, output: str, date: str | None
     hit = pages.join(F.broadcast(crawled), "canonical_url")
     if n_parts:
         hit = hit.repartition(n_parts, "host")
-    recs = hit.select(
-        warc_record(
-            F.col("canonical_url"),
-            F.col("bytes"),
-            F.concat(F.lit("image/"), F.col("fmt")),
-            F.lit(date or WARC_TEST_DATE),
+    d = F.lit(date or WARC_TEST_DATE)
+    ctype = F.concat(F.lit("image/"), F.col("fmt"))
+    if not dedup:
+        recs = hit.select(
+            warc_record(F.col("canonical_url"), F.col("bytes"), ctype, d).alias("record")
+        )
+        return write_warc(recs, output, index=True)
+
+    digest = F.concat(F.lit("sha1:"), F.sha1("bytes"))
+    tagged = hit.withColumn("digest", digest).withColumn(
+        "first_url", F.min("canonical_url").over(Window.partitionBy("digest"))
+    )
+    full = tagged.filter(F.col("canonical_url") == F.col("first_url")).select(
+        warc_record(F.col("canonical_url"), F.col("bytes"), ctype, d).alias("record")
+    )
+    revisits = tagged.filter(F.col("canonical_url") != F.col("first_url")).select(
+        warc_revisit_record(
+            F.col("canonical_url"), F.col("first_url"), F.col("digest"), d
         ).alias("record")
     )
-    return write_warc(recs, output, index=True)
+    return write_warc(full.unionByName(revisits), output, index=True)
 
 
 def main() -> None:
@@ -80,6 +106,8 @@ def main() -> None:
     ap.add_argument("--corpus", help="corpus parquet path (input_hint schema)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--parts", type=int, default=0, help="repartition count (0 = keep)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="archive duplicate payloads as revisit records")
     ap.add_argument("--n-images", type=int, default=60,
                     help="smoke-mode corpus size when --workdir is omitted")
     args = ap.parse_args()
@@ -112,7 +140,8 @@ def main() -> None:
             loop.run()
             frontier = loop.engine.table.read()
         corpus = spark.read.parquet(corpus_path or args.corpus)
-        manifest = archive_crawled(spark, frontier, corpus, args.output, n_parts=args.parts)
+        manifest = archive_crawled(spark, frontier, corpus, args.output,
+                                   n_parts=args.parts, dedup=args.dedup)
         print(json.dumps({
             "parts": int(len(manifest)),
             "records": int(manifest["n_records"].sum()),

@@ -132,7 +132,6 @@ def test_cdx_index_random_access(spark, tmp_path, pages):
     rows = idx.collect()
     assert len(rows) == pages.count()  # warcinfo records are not indexed
     exp = {r.url: bytes(r.payload) for r in pages.collect()}
-    import base64
     import hashlib
 
     for r in rows:
@@ -142,8 +141,7 @@ def test_cdx_index_random_access(spark, tmp_path, pages):
         assert rec["warc_type"] == "response"
         assert rec["target_uri"] == r.url
         assert rec["payload"] == exp[r.url]
-        digest = "sha1:" + base64.b32encode(hashlib.sha1(exp[r.url]).digest()).decode()
-        assert r.digest == digest
+        assert r.digest == "sha1:" + hashlib.sha1(exp[r.url]).hexdigest()
     # sidecar lines are sorted by SURT key within each part
     import glob
 
@@ -199,6 +197,84 @@ def test_archive_crawled_job_covers_crawled_set(spark, tmp_path):
     got = {r.target_uri: bytes(r.payload) for r in back.collect()}
     assert set(got) == crawled
     assert all(got[u] == src[u] for u in got)
+
+
+def test_revisit_record_framing(spark):
+    """A revisit record (identical-payload-digest profile) frames with
+    zero-length block, refers-to URI and the referred payload's digest."""
+    from frontera_spark.sources.warc import REVISIT_PROFILE, warc_revisit_record
+
+    df = spark.createDataFrame(
+        [("https://m.test/dup", "https://a.test/orig", "sha1:abc123")],
+        "url string, ref string, dig string",
+    )
+    raw = bytes(
+        df.select(
+            warc_revisit_record(
+                F.col("url"), F.col("ref"), F.col("dig"), F.lit(WARC_TEST_DATE)
+            ).alias("r")
+        ).collect()[0].r
+    )
+    rec = parse_warc_bytes(raw)[0]
+    assert rec["warc_type"] == "revisit"
+    assert rec["content_length"] == 0 and rec["payload"] == b""
+    assert rec["refers_to"] == "https://a.test/orig"
+    assert rec["payload_digest"] == "sha1:abc123"
+    assert rec["profile"] == REVISIT_PROFILE
+
+
+def test_archive_dedup_mirrors_as_revisit_records(spark, tmp_path):
+    """archive_crawled(dedup=True): per payload digest, one full response
+    (min URL) + revisit references for the mirrors — the archive shrinks to
+    distinct content while every capture stays addressable."""
+    import hashlib
+
+    from jobs.warc_archive import archive_crawled
+
+    from frontera_spark import STATE_CRAWLED
+
+    def _blob(tag, n=100):  # deterministic but incompressible payloads
+        return b"".join(hashlib.sha256(f"{tag}{i}".encode()).digest() for i in range(n))
+
+    blobs = {"x": _blob("x"), "y": _blob("y"), "z": b"Z"}
+    rows = [  # 7 urls over 3 distinct payloads (x mirrored 3x, y 2x)
+        ("https://a.test/x1", blobs["x"]), ("https://b.test/x2", blobs["x"]),
+        ("https://c.test/x3", blobs["x"]), ("https://a.test/y1", blobs["y"]),
+        ("https://c.test/y2", blobs["y"]), ("https://a.test/z", blobs["z"]),
+        ("https://d.test/x4", blobs["x"]),
+    ]
+    corpus = spark.createDataFrame(
+        [(u, b, "png") for u, b in rows], "url string, bytes binary, fmt string"
+    )
+    frontier = spark.createDataFrame(
+        [(u, STATE_CRAWLED) for u, _ in rows], "canonical_url string, state int"
+    )
+
+    plain_out, dedup_out = str(tmp_path / "plain"), str(tmp_path / "dedup")
+    m_plain = archive_crawled(spark, frontier, corpus, plain_out, n_parts=2)
+    m_dedup = archive_crawled(spark, frontier, corpus, dedup_out, n_parts=2, dedup=True)
+    assert m_plain["n_records"].sum() == 7 and m_dedup["n_records"].sum() == 7
+    # mirrors stored as references: the archive shrinks to distinct content
+    assert m_dedup["n_bytes"].sum() < m_plain["n_bytes"].sum()
+
+    back = read_warc(spark, dedup_out).filter(F.col("warc_type") != "warcinfo").collect()
+    full = {r.target_uri: r for r in back if r.warc_type == "response"}
+    revs = [r for r in back if r.warc_type == "revisit"]
+    assert len(full) == 3 and len(revs) == 4
+    src = dict(rows)
+    for r in revs:
+        ref = full[r.refers_to]  # reference resolves to a stored response
+        assert bytes(ref.payload) == src[r.target_uri]  # identical payload
+        assert r.payload_digest == "sha1:" + hashlib.sha1(bytes(ref.payload)).hexdigest()
+        assert bytes(r.payload) == b""
+    # canonical copy per digest is the minimum URL (deterministic re-runs)
+    for r in revs:
+        assert r.refers_to == min(u for u, b in rows if b == src[r.target_uri])
+    # the CDX index covers all 7 captures, revisits carrying the referred digest
+    idx = {r.url: r for r in read_cdx(spark, dedup_out).collect()}
+    assert len(idx) == 7
+    for u, b in rows:
+        assert idx[u].digest == "sha1:" + hashlib.sha1(b).hexdigest()
 
 
 def test_crawled_corpus_archives_and_restores(spark, tmp_path):
