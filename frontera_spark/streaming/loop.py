@@ -1211,7 +1211,13 @@ def main() -> None:
     ap.add_argument("--n-images", type=int, default=200)
     ap.add_argument("--n-hosts", type=int, default=7)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--strategy", default="bfs")
+    ap.add_argument("--strategy", default="bfs",
+                    help="fifo/lifo/bfs/dfs/random/opic, or 'focused' "
+                    "(requires --focus-query)")
+    ap.add_argument("--focus-query", default=None,
+                    help="focused crawl: topic query scored against fetched captions")
+    ap.add_argument("--focus-decay", type=float, default=0.5)
+    ap.add_argument("--focus-gamma", type=float, default=0.5)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--max-per-host", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=8)
@@ -1233,12 +1239,22 @@ def main() -> None:
     corpus_path = os.path.join(args.workdir, "corpus")
     if not os.path.exists(corpus_path):
         write_corpus(spark, corpus_path, args.n_images, args.n_hosts, args.seed)
+    strategy_obj = None
+    if args.strategy == "focused":
+        from frontera_spark.core.strategies import FocusedStrategy
+
+        if not args.focus_query:
+            ap.error("--strategy focused requires --focus-query")
+        strategy_obj = FocusedStrategy(
+            query=args.focus_query, decay=args.focus_decay, gamma=args.focus_gamma
+        )
     loop = CrawlLoop(
         spark,
         os.path.join(args.workdir, "engine"),
         corpus_path,
         corpus_seed=args.seed,
-        strategy=args.strategy,
+        strategy=args.strategy if strategy_obj is None else "bfs",
+        strategy_obj=strategy_obj,
         batch_size=args.batch,
         max_per_host=args.max_per_host,
         n_partitions=args.partitions,
