@@ -3106,6 +3106,130 @@ FROM docs d LEFT JOIN state s ON d.doc_id = s.doc_id
 """
 
 
+# ------------------- R5: DUST rule mining (core/dust.py — WWW'07 aliasing)
+
+
+def _dust_url_log(spark, sf_dir):
+    """Deterministic (url, sig) crawl log over documents — the DUST mining
+    fixture: host = doc_id % 4; params: ``id`` (content-determining,
+    always present), ``sess`` (present when doc_id % 3 == 0 — content-
+    RELEVANT only on host h3, where the body embeds the session), ``ref``
+    (present when doc_id % 5 == 0 — content-irrelevant everywhere). The
+    signature encodes exactly that dependence, so the miner must flag
+    ``ref`` on all four hosts and ``sess`` on h0–h2, and must NOT flag
+    ``id`` anywhere or ``sess`` on h3."""
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 4).cast("string"), F.lit(".example.test"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/page?id="), (did % 25).cast("string"),
+        F.when(
+            did % 3 == 0, F.concat(F.lit("&sess="), (did % 7).cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0, F.concat(F.lit("&ref="), (did % 11).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    sig = (
+        (did % 4) * 100
+        + (did % 25)
+        + F.when((did % 4 == 3) & (did % 3 == 0), 1000 * (did % 7)).otherwise(F.lit(0))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), sig.cast("long").alias("sig")
+    )
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST parameter-irrelevance mining (core/dust.py mine_dust_rules —
+    Bar-Yossef et al. WWW'07; frontera's static canonicalization,
+    frontera/utils/url.py:~1-60, cannot learn per-host rules): per
+    (host, param), group the host's URLs by their param-stripped form; a
+    multi-URL group whose members share one content signature supports the
+    rule, mixed signatures are violations; the rule holds iff evidence
+    exists and violations are zero. Host is derived with parse_url (the
+    operator's real path); vocabulary is a broadcast hosts×param-names
+    frame; one shuffle on the stripped-key group."""
+    from frontera_spark.core.dust import mine_dust_rules
+
+    return mine_dust_rules(_dust_url_log(spark, sf_dir), url_col="url", sig_col="sig")
+
+
+SQL_DUST_RULES = """
+WITH u AS (
+  SELECT doc_id,
+         'h' || (doc_id % 4) || '.example.test' AS host,
+         (doc_id % 4) * 100 + (doc_id % 25)
+           + CASE WHEN doc_id % 4 = 3 AND doc_id % 3 = 0
+                  THEN 1000 * (doc_id % 7) ELSE 0 END AS sig
+  FROM documents
+),
+prm AS (
+  SELECT doc_id, 'id' AS k, 'id=' || (doc_id % 25) AS kv FROM documents
+  UNION ALL
+  SELECT doc_id, 'sess', 'sess=' || (doc_id % 7) FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'ref', 'ref=' || (doc_id % 11) FROM documents WHERE doc_id % 5 = 0
+),
+vocab AS (SELECT DISTINCT u.host, p.k FROM u JOIN prm p USING (doc_id)),
+cand AS (
+  SELECT u.doc_id, u.host, u.sig, v.k AS param,
+         COALESCE(string_agg(CASE WHEN p.k <> v.k THEN p.kv END, '&' ORDER BY p.kv),
+                  '') AS skey
+  FROM u
+  JOIN vocab v ON v.host = u.host
+  LEFT JOIN prm p ON p.doc_id = u.doc_id
+  GROUP BY u.doc_id, u.host, u.sig, v.k
+),
+g AS (
+  SELECT host, param, skey, COUNT(*) AS n, COUNT(DISTINCT sig) AS nsig
+  FROM cand GROUP BY host, param, skey
+)
+SELECT host, param,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n > 1 AND nsig > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(SUM(CASE WHEN n > 1 AND nsig = 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+         AS support,
+       SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN n > 1 AND nsig > 1 THEN 1 ELSE 0 END) = 0 AS irrelevant
+FROM g GROUP BY host, param
+"""
+
+
+def q_dust_rewrite(spark, sf_dir):
+    """Applying validated DUST rules (core/dust.py strip_params_expr — the
+    crawl loop's pre-schedule link rewrite): strip ``ref`` everywhere and
+    ``sess`` on h0–h2 (the rule set q_dust_rules validates), keep ``id``
+    always and ``sess`` on h3. Pure codegen — literal host→params map +
+    higher-order array filter, no UDF, no join, no shuffle."""
+    from frontera_spark.core.dust import strip_params_expr
+
+    rules = {
+        "h0.example.test": ["ref", "sess"],
+        "h1.example.test": ["ref", "sess"],
+        "h2.example.test": ["ref", "sess"],
+        "h3.example.test": ["ref"],
+    }
+    log = _dust_url_log(spark, sf_dir)
+    return log.select(
+        "doc_id",
+        "url",
+        strip_params_expr(F.col("url"), rules).alias("rewritten"),
+    )
+
+
+SQL_DUST_REWRITE = """
+SELECT doc_id,
+       'https://h' || (doc_id % 4) || '.example.test/page?id=' || (doc_id % 25)
+         || CASE WHEN doc_id % 3 = 0 THEN '&sess=' || (doc_id % 7) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '&ref=' || (doc_id % 11) ELSE '' END AS url,
+       'https://h' || (doc_id % 4) || '.example.test/page?id=' || (doc_id % 25)
+         || CASE WHEN doc_id % 4 = 3 AND doc_id % 3 = 0
+                 THEN '&sess=' || (doc_id % 7) ELSE '' END AS rewritten
+FROM documents
+"""
+
+
 # -------------------------------- R5: sitemap-index resolution (one level)
 
 
@@ -3208,8 +3332,12 @@ FROM d
 # bytes, oracle hash-pins the binary layout) enter the cap, displacing
 # embed_neardup_pairs (driver-green r1–r4) and lsh_neardup_pairs
 # (driver-green r2–r4) — both stay pinned by the local sf0.001 gate, their
-# recall tests, and bench.py. After this round every registry entry has at
-# least one green driver row on record; the per-round map lives in
+# recall tests, and bench.py. Fourth late round-5 addition: dust_rules and
+# dust_rewrite (DUST parameter-irrelevance mining + the pre-schedule link
+# rewrite it licenses, core/dust.py — the newest crawl-loop feature) enter
+# the cap, displacing session_stats and event_rollup (driver-green r1–r4;
+# still local-gated + benched). After this round every registry entry has
+# at least one green driver row on record; the per-round map lives in
 # COVERAGE.md.
 
 QUERIES = {
@@ -3235,6 +3363,8 @@ QUERIES = {
     "retry_schedule": (q_retry_schedule, SQL_RETRY_SCHEDULE),
     "content_dedup_split": (q_content_dedup_split, SQL_CONTENT_DEDUP_SPLIT),
     "conditional_refetch": (q_conditional_refetch, SQL_CONDITIONAL_REFETCH),
+    "dust_rules": (q_dust_rules, SQL_DUST_RULES),
+    "dust_rewrite": (q_dust_rewrite, SQL_DUST_REWRITE),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
@@ -3247,8 +3377,6 @@ QUERIES = {
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "session_stats": (q_session_stats, SQL_SESSION_STATS),
-    "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
@@ -3266,6 +3394,8 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "ivf_cells": (q_ivf_cells, SQL_IVF_CELLS),

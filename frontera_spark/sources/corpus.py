@@ -124,15 +124,37 @@ def url_of(idx: int, n_hosts: int) -> str:
     return f"https://h{host_of(idx, n_hosts):03d}.example.test/i/{image_id_of(idx)}"
 
 
-def out_links_of(idx: int, n_images: int, n_hosts: int) -> list[str]:
-    """Binary tree children {2i+1, 2i+2} + every-7th back-edge (cycle)."""
-    links = [url_of(c, n_hosts) for c in (2 * idx + 1, 2 * idx + 2) if c < n_images]
+def out_links_of(
+    idx: int, n_images: int, n_hosts: int, alias_share: float = 0.0
+) -> list[str]:
+    """Binary tree children {2i+1, 2i+2} + every-7th back-edge (cycle).
+
+    With ``alias_share`` > 0, that fraction of child links (stable crc32
+    slice) is emitted as a session-tracking ALIAS — ``url?sess=<parent%3>``
+    — the DUST fixture (core/dust.py): distinct URL strings the server
+    resolves to the same page (``fetch_stage(server_ignores=('sess',))``).
+    Default 0.0 keeps every pre-existing fixture byte-identical."""
+    links = []
+    for c in (2 * idx + 1, 2 * idx + 2):
+        if c >= n_images:
+            continue
+        u = url_of(c, n_hosts)
+        if alias_share > 0 and zlib.crc32(f"al{idx}:{c}".encode()) % 100 < alias_share * 100:
+            u += f"?sess={idx % 3}"
+        links.append(u)
     if idx % 7 == 0 and idx > 0:
         links.append(url_of(idx // 2, n_hosts))  # back-edge to a smaller idx
     return links
 
 
-def make_row(idx: int, seed: int, n_images: int, n_hosts: int, jpeg_share: float = 0.0) -> dict:
+def make_row(
+    idx: int,
+    seed: int,
+    n_images: int,
+    n_hosts: int,
+    jpeg_share: float = 0.0,
+    alias_share: float = 0.0,
+) -> dict:
     from frontera_spark.sources.jpeg import encode_jpeg
     from frontera_spark.sources.png import encode_png
 
@@ -153,7 +175,7 @@ def make_row(idx: int, seed: int, n_images: int, n_hosts: int, jpeg_share: float
         "caption": caption_of(idx),
         "phash": phash_of(px),
         "url": url_of(idx, n_hosts),
-        "out_links": out_links_of(idx, n_images, n_hosts),
+        "out_links": out_links_of(idx, n_images, n_hosts, alias_share),
     }
 
 
@@ -164,6 +186,7 @@ def generate_corpus(
     seed: int = 42,
     partitions: int | None = None,
     jpeg_share: float = 0.0,
+    alias_share: float = 0.0,
 ) -> DataFrame:
     """Distributed corpus DataFrame; pure function of (seed, idx) per row."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
@@ -171,7 +194,7 @@ def generate_corpus(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                make_row(int(i), seed, n_images, n_hosts, jpeg_share)
+                make_row(int(i), seed, n_images, n_hosts, jpeg_share, alias_share)
                 for i in pdf["id"]
             ]
             yield pd.DataFrame(rows)
@@ -186,7 +209,8 @@ def write_corpus(
     n_hosts: int = 31,
     seed: int = 42,
     jpeg_share: float = 0.0,
+    alias_share: float = 0.0,
 ) -> None:
-    generate_corpus(spark, n_images, n_hosts, seed, jpeg_share=jpeg_share).write.mode(
-        "overwrite"
-    ).parquet(path)
+    generate_corpus(
+        spark, n_images, n_hosts, seed, jpeg_share=jpeg_share, alias_share=alias_share
+    ).write.mode("overwrite").parquet(path)

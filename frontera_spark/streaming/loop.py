@@ -60,13 +60,25 @@ FEED_COLS = ["fingerprint", "canonical_url", "host", "partition_id", "seq", "dep
 
 
 def fetch_stage(
-    feed: DataFrame, corpus: DataFrame, corpus_seed: int, check_invariant: bool = True
+    feed: DataFrame,
+    corpus: DataFrame,
+    corpus_seed: int,
+    check_invariant: bool = True,
+    server_ignores: tuple[str, ...] = (),
 ) -> DataFrame:
     """Downloader simulator (J3): corpus ⋈ broadcast(feed) + payload decode.
 
     Returns one decoded row per feed row that HAS a corpus entry; feed rows
     with no entry (404s) are detected by the caller with an anti-join against
     this (cached, ≤ batch-size) result — see ``CrawlLoop.run_iteration``.
+
+    ``server_ignores`` models a server that disregards the named query
+    params for routing (session/tracking ids — the DUST fixture,
+    core/dust.py): the corpus lookup key is the feed URL with those params
+    stripped, while the RESULT row keeps the URL as requested — exactly a
+    real fetcher, where the frontier's URL and the server's routing
+    decision are independent. The strip is a codegen projection on the
+    broadcast (≤ batch-size) side only.
 
     Plan shape: an INNER join may build either side, so ``broadcast(feed)``
     is honored and the corpus side streams map-side with zero shuffle (the
@@ -85,7 +97,20 @@ def fetch_stage(
         "phash",
         "out_links",
     )
-    joined = pages.join(F.broadcast(feed.select(*FEED_COLS)), "canonical_url", "inner")
+    if server_ignores:
+        from frontera_spark.core.dust import strip_named_params_expr
+
+        feed_keyed = feed.select(*FEED_COLS).withColumn(
+            "_fetch_key",
+            strip_named_params_expr(F.col("canonical_url"), tuple(server_ignores)),
+        )
+        joined = (
+            pages.withColumnRenamed("canonical_url", "_fetch_key")
+            .join(F.broadcast(feed_keyed), "_fetch_key", "inner")
+            .drop("_fetch_key")
+        )
+    else:
+        joined = pages.join(F.broadcast(feed.select(*FEED_COLS)), "canonical_url", "inner")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -207,6 +232,8 @@ class CrawlLoop:
         flaky_hosts: dict | None = None,
         content_dedup: bool = False,
         content_shard_capacity: int = 1 << 16,
+        dust: dict | None = None,
+        server_ignores: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.workdir = workdir
@@ -325,6 +352,29 @@ class CrawlLoop:
                 capacity=content_shard_capacity,
                 bloom_only=True,
             )
+        # DUST rule mining (core/dust.py — Bar-Yossef et al. WWW'07):
+        # {"every": k iterations between mining ticks, "min_support": s}.
+        # Each iteration appends this batch's (host, url, sig) rows to
+        # dustlog/iter=<i>/ (overwrite-on-replay, read-only-below-current —
+        # the fetch-log contract, so rollback replays re-mine identically);
+        # every k iterations the log is mined for per-(host, param)
+        # content-irrelevance rules, and validated rules rewrite candidate
+        # links BEFORE they enter the frontier — aliases collapse in the
+        # seen-set instead of being fetched. Mining is O(crawled-so-far)
+        # once per k iterations (the OPIC-refresh cost class); rules are
+        # NOT persisted — they are a pure function of the logs, re-mined in
+        # _recover(), which keeps them rollback-exact for free.
+        # ``server_ignores`` is the matching SIMULATOR knob (which params
+        # the fake server drops for routing — the ground truth mining is
+        # supposed to discover); a real deployment deletes it.
+        if dust is not None:
+            dust = dict(dust)
+            dust["every"] = max(1, int(dust.get("every", 5)))
+            dust.setdefault("min_support", 2)
+        self.dust_cfg = dust
+        self._dust_rules: dict[str, list[str]] = {}
+        self.dustlog_dir = os.path.join(workdir, "dustlog")
+        self.server_ignores = tuple(server_ignores)
         # robots_txt: {host: robots.txt body} — ONE knob that derives the
         # whole robots stack (frontera analog: scrapy's RobotsTxtMiddleware
         # + DOWNLOAD_DELAY, per-process crawler settings; here both live in
@@ -382,6 +432,20 @@ class CrawlLoop:
         sees them again. Fetching is deterministic → replay is idempotent."""
         if self.content_seen is not None:
             self._recover_content_seen()
+        if self.dust_cfg is not None:
+            # rules are a pure function of the (rollback-exact) dust logs:
+            # re-mine at the boundary the interrupted run last ticked at
+            # (MINED_AT watermark), clamped to the current iteration's tick
+            # boundary for rollback (stale future logs fall outside the
+            # read set either way) — restoring the precise rule set the
+            # interrupted process held
+            every = self.dust_cfg["every"]
+            boundary = (self.engine.iteration // every) * every
+            wm = os.path.join(self.dustlog_dir, "MINED_AT")
+            if os.path.exists(wm):
+                with open(wm) as fh:
+                    boundary = min(boundary, int(fh.read().strip() or 0))
+            self._mine_dust(boundary)
         t = self.engine.table
         # un-absorbed overlay marks are exactly the in-flight feed rows whose
         # results never committed — dropping them re-queues those rows with a
@@ -484,6 +548,61 @@ class CrawlLoop:
     def _sig_shard_col(self):
         """Shard id for a content signature: sig % P (non-negative)."""
         return F.pmod(F.col("_sig"), F.lit(self.engine.n_partitions)).cast("int")
+
+    # ------------------------------------------------------------------ dust
+
+    def _dust_log_dirs(self, iteration: int) -> list[str]:
+        """DUST-log dirs strictly below ``iteration`` (the same
+        rollback-exact read set as the content log)."""
+        import glob as _glob
+
+        return [
+            d
+            for d in _glob.glob(os.path.join(self.dustlog_dir, "iter=*"))
+            if int(d.rsplit("=", 1)[1]) < iteration
+            and any(f.endswith(".parquet") for f in os.listdir(d))
+        ]
+
+    def _append_dust_log(self, iteration: int, results: DataFrame) -> None:
+        """One (host, url, sig) row per fetched page — the mining input.
+        The URL is the REQUESTED one (aliases intact: that is the evidence),
+        the sig is the body signature the alias resolved to."""
+        (
+            results.select(
+                "host",
+                F.col("canonical_url").alias("url"),
+                self._content_sig(iteration).alias("sig"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.dustlog_dir, f"iter={iteration}"))
+        )
+
+    def _mine_dust(self, iteration: int) -> None:
+        """Re-mine parameter-irrelevance rules from the full dust log and
+        swap in the validated rule map (host -> params to strip). One
+        O(crawled-so-far) aggregation per ``every`` iterations — the same
+        cost class as an OPIC score refresh; the rule map itself is
+        O(hosts x params) and rides the plan as a literal."""
+        from frontera_spark.core.dust import mine_dust_rules, rules_to_map
+
+        dirs = self._dust_log_dirs(iteration)
+        if dirs:
+            log = self.spark.read.parquet(*dirs)
+            rules = mine_dust_rules(log, url_col="url", sig_col="sig", host_col="host")
+            self._dust_rules = rules_to_map(
+                rules, min_support=self.dust_cfg["min_support"]
+            )
+        else:
+            self._dust_rules = {}
+        # O(1) watermark breadcrumb: the boundary this process last mined
+        # at, so _recover() restores the EXACT rule set (mining at the
+        # final-iteration boundary instead could see evidence the run's
+        # last tick had not — and hold different rules than the crashed
+        # process did)
+        os.makedirs(self.dustlog_dir, exist_ok=True)
+        with open(os.path.join(self.dustlog_dir, "MINED_AT"), "w") as fh:
+            fh.write(str(iteration))
 
     def _content_dedup_split(
         self, results: DataFrame, iteration: int, n_maybe: int, n_results: int
@@ -935,7 +1054,11 @@ class CrawlLoop:
             )
 
         results = fetch_stage(
-            feed_fetch, self.corpus, self.corpus_seed, self.check_invariant
+            feed_fetch,
+            self.corpus,
+            self.corpus_seed,
+            self.check_invariant,
+            server_ignores=self.server_ignores,
         )
         if self.flaky_hosts:
             results = self._drop_flaky_failures(results, sorted(popped_by_pid))
@@ -982,6 +1105,8 @@ class CrawlLoop:
                 cols = ["fingerprint", "partition_id", "host", "image_id"]
                 logged = results.select(*cols).unionByName(notmod.select(*cols))
             self._append_fetch_log(iteration, logged)
+        if self.dust_cfg is not None:
+            self._append_dust_log(iteration, results)
         fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
         for pid, n in n_notmod_by_pid.items():  # a 304 is a successful visit
             fetched_by_pid[pid] = fetched_by_pid.get(pid, 0) + n
@@ -1033,6 +1158,14 @@ class CrawlLoop:
             ),
             cash_fn=strat.link_cash,
         )
+        if self.dust_cfg is not None and self._dust_rules:
+            # collapse mined aliases BEFORE canonicalization/dedup: a
+            # stripped link that matches an already-crawled URL dies in the
+            # seen-set anti-join instead of being fetched (pure codegen
+            # rewrite — no UDF, no extra shuffle on the links frame)
+            from frontera_spark.core.dust import apply_dust_rules
+
+            links = apply_dust_rules(links, self._dust_rules, url_col="url")
         crawled = results
         if notmod is not None:
             # 304 rows take the same CRAWLED transition in the same fused
@@ -1087,6 +1220,9 @@ class CrawlLoop:
         }
         if self.revisit_cfg is not None and self.revisit_cfg.get("conditional"):
             agg["n_not_modified"] = sum(n_notmod_by_pid.values())
+        if self.dust_cfg is not None:
+            # rules active while THIS iteration's links were scheduled
+            agg["n_dust_rules"] = sum(len(v) for v in self._dust_rules.values())
         if self.content_dedup:
             agg["n_content_dups"] = n_content_dups
             # bloom-maybe count: 0 ⇒ this iteration never read the
@@ -1175,6 +1311,12 @@ class CrawlLoop:
                 and self.engine.iteration % self.retry_cfg["every"] == 0
             ):
                 self._retry_tick()
+            if (
+                self.dust_cfg is not None
+                and self.engine.iteration
+                and self.engine.iteration % self.dust_cfg["every"] == 0
+            ):
+                self._mine_dust(self.engine.iteration)
             m = self.run_iteration()
             if verbose:
                 print(m)
@@ -1230,6 +1372,21 @@ def main() -> None:
         help="mirror handling: drop links from pages whose body signature "
         "was already crawled at another URL",
     )
+    ap.add_argument(
+        "--dust-every",
+        type=int,
+        default=None,
+        help="mine DUST parameter-irrelevance rules every N iterations and "
+        "strip mined params from candidate links before scheduling",
+    )
+    ap.add_argument("--dust-min-support", type=int, default=2)
+    ap.add_argument(
+        "--alias-share",
+        type=float,
+        default=0.0,
+        help="fraction of corpus child links emitted as ?sess= aliases "
+        "(the DUST fixture; implies the server ignores 'sess')",
+    )
     args = ap.parse_args()
 
     from frontera_spark.session import get_spark
@@ -1238,7 +1395,10 @@ def main() -> None:
     spark = get_spark("crawl_loop", master=args.master)
     corpus_path = os.path.join(args.workdir, "corpus")
     if not os.path.exists(corpus_path):
-        write_corpus(spark, corpus_path, args.n_images, args.n_hosts, args.seed)
+        write_corpus(
+            spark, corpus_path, args.n_images, args.n_hosts, args.seed,
+            alias_share=args.alias_share,
+        )
     strategy_obj = None
     if args.strategy == "focused":
         from frontera_spark.core.strategies import FocusedStrategy
@@ -1260,6 +1420,12 @@ def main() -> None:
         n_partitions=args.partitions,
         mode=args.mode,
         content_dedup=args.content_dedup,
+        dust=(
+            {"every": args.dust_every, "min_support": args.dust_min_support}
+            if args.dust_every
+            else None
+        ),
+        server_ignores=("sess",) if args.alias_share > 0 else (),
     )
     if loop.engine.count() == 0:
         loop.add_seeds([url_of(0, args.n_hosts)])
