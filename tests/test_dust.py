@@ -156,6 +156,40 @@ def test_apply_empty_rules_is_identity(spark):
     assert apply_dust_rules(df, {}) is df
 
 
+def _strip_model(url: str, names: tuple[str, ...]) -> str:
+    """Pure-Python reference of _strip_expr's documented semantics: split at
+    the FIRST '?', drop empty '&' tokens, key = text before the first '=',
+    re-join survivors in order, drop the '?' when none survive."""
+    qpos = url.find("?")
+    if qpos < 0:
+        return url
+    base, q = url[:qpos], url[qpos + 1 :]
+    kept = [p for p in q.split("&") if p and p.split("=", 1)[0] not in names]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+def test_strip_parity_on_adversarial_urls(spark):
+    """One Spark job over the cross product of edge-case URL components —
+    multiple '?', empty tokens, '=' in values, value-less keys, encoded
+    lookalikes, key prefixes — pinned against the Python model."""
+    bases = ["https://h.test/a", "https://h.test/", "http://h.test/p%20x"]
+    queries = [
+        "", "?", "?sess", "?sess=", "?sess=1", "?a=1&sess=2", "?sess=1&a=2",
+        "?a=b=c&sess=d=e", "?&&a=1&&", "?sess=1&sess=2", "?%73ess=1",
+        "?sessx=1&s=2", "?a=1?sess=2", "?x&sess&y", "?a=&sess=&b=",
+    ]
+    names = ("sess", "ref")
+    urls = [b + q for b in bases for q in queries]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["u"]
+        for r in df.select(
+            strip_named_params_expr(F.col("url"), names).alias("u")
+        ).collect()
+    ]
+    assert got == [_strip_model(u, names) for u in urls]
+
+
 # ------------------------------------------------------------------ loop e2e
 
 N, HOSTS, SEED = 40, 5, 42
