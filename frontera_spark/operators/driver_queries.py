@@ -3106,6 +3106,47 @@ FROM docs d LEFT JOIN state s ON d.doc_id = s.doc_id
 """
 
 
+# ---------------- R5: AIMD politeness throttle (core/throttle.py)
+
+
+def q_throttle_delays(spark, sf_dir):
+    """AIMD politeness controller step (core/throttle.aimd_delay — the
+    scrapy-AutoThrottle / frontera DOWNLOAD_DELAY analog; the crawl loop's
+    throttle tick MERGEs this exact expression into the domain table): one
+    observation window per synthesized host — the delay DOUBLES (kicked up
+    from zero to 0.5 s, capped at 60 s) when the window error rate >= 0.5,
+    relaxes by 0.5 s (floored at 0) when healthy, and holds when the
+    window is empty. Pure projection; every output is a dyadic float, so
+    cross-engine equality is exact."""
+    from frontera_spark.core.throttle import aimd_delay
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), did.cast("string")).alias("host"),
+        (did % 80).cast("double").alias("delay_s"),
+        (did % 5).cast("long").alias("n_ok"),
+        (did % 3).cast("long").alias("n_err"),
+    )
+    return d.withColumn(
+        "new_delay_s", aimd_delay(F.col("delay_s"), F.col("n_ok"), F.col("n_err"))
+    )
+
+
+SQL_THROTTLE_DELAYS = """
+SELECT 'h' || doc_id AS host,
+       CAST(doc_id % 80 AS DOUBLE) AS delay_s,
+       CAST(doc_id % 5 AS BIGINT) AS n_ok,
+       CAST(doc_id % 3 AS BIGINT) AS n_err,
+       CASE
+         WHEN (doc_id % 5) + (doc_id % 3) = 0 THEN CAST(doc_id % 80 AS DOUBLE)
+         WHEN CAST(doc_id % 3 AS DOUBLE) / ((doc_id % 5) + (doc_id % 3)) >= 0.5
+           THEN LEAST(GREATEST((doc_id % 80) * 2.0, 0.5), 60.0)
+         ELSE GREATEST((doc_id % 80) - 0.5, 0.0)
+       END AS new_delay_s
+FROM documents
+"""
+
+
 # ------------------- R5: DUST rule mining (core/dust.py — WWW'07 aliasing)
 
 
@@ -3336,9 +3377,12 @@ FROM d
 # dust_rewrite (DUST parameter-irrelevance mining + the pre-schedule link
 # rewrite it licenses, core/dust.py — the newest crawl-loop feature) enter
 # the cap, displacing session_stats and event_rollup (driver-green r1–r4;
-# still local-gated + benched). After this round every registry entry has
-# at least one green driver row on record; the per-round map lives in
-# COVERAGE.md.
+# still local-gated + benched). Fifth late round-5 addition:
+# throttle_delays (the AIMD politeness controller step the crawl loop's
+# throttle tick applies, core/throttle.py) enters the cap, displacing
+# stratified_sample (driver-green r1–r4). After this round every registry
+# entry has at least one green driver row on record; the per-round map
+# lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -3365,6 +3409,7 @@ QUERIES = {
     "conditional_refetch": (q_conditional_refetch, SQL_CONDITIONAL_REFETCH),
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "dust_rewrite": (q_dust_rewrite, SQL_DUST_REWRITE),
+    "throttle_delays": (q_throttle_delays, SQL_THROTTLE_DELAYS),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
@@ -3377,7 +3422,6 @@ QUERIES = {
     "phash_neardup_pairs": (q_phash_neardup_pairs, SQL_PHASH_NEARDUP_PAIRS),
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "contamination": (q_contamination, SQL_CONTAMINATION),
@@ -3394,6 +3438,7 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),

@@ -234,6 +234,7 @@ class CrawlLoop:
         content_shard_capacity: int = 1 << 16,
         dust: dict | None = None,
         server_ignores: tuple[str, ...] = (),
+        throttle: dict | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -423,6 +424,26 @@ class CrawlLoop:
             self.scheduler = PoliteScheduler(
                 self.engine, domains, batch_period=batch_period, token_cap=token_cap
             )
+        # AIMD politeness throttle (core/throttle.py — scrapy AutoThrottle /
+        # frontera DOWNLOAD_DELAY analog): {"every": k iterations between
+        # controller ticks, plus any aimd_delay knob: err_threshold,
+        # backoff, relief_s, min_delay_s, max_delay_s}. Each iteration adds
+        # one tiny union-agg job over the cached pop/results frames to
+        # accumulate per-host (ok, err) counts driver-side; each tick MERGEs
+        # the AIMD-adjusted delay_s into the domain table, where the very
+        # next pop's token buckets pick it up. Controller state IS the
+        # committed delay_s column — a crash loses at most the current
+        # partial observation window, which the controller re-accumulates
+        # (self-correcting by construction; no extra state table).
+        if throttle is not None:
+            if self.scheduler is None:
+                raise ValueError(
+                    "throttle requires politeness (pass politeness= or robots_txt=)"
+                )
+            throttle = dict(throttle)
+            throttle["every"] = max(1, int(throttle.get("every", 5)))
+        self.throttle_cfg = throttle
+        self._throttle_window: dict[str, list[int]] = {}
 
     # ------------------------------------------------------------------ state
 
@@ -548,6 +569,70 @@ class CrawlLoop:
     def _sig_shard_col(self):
         """Shard id for a content signature: sig % P (non-negative)."""
         return F.pmod(F.col("_sig"), F.lit(self.engine.n_partitions)).cast("int")
+
+    # -------------------------------------------------------------- throttle
+
+    def _accumulate_throttle_window(self, feed, results, notmod) -> None:
+        """Fold this iteration's per-host outcomes into the observation
+        window: ok = fetched + not-modified visits, err = popped rows that
+        produced neither (404s, flaky failures — any failed fetch counts
+        as pressure). One union-agg job over frames that are already
+        cached and <= batch-size; the window dict is bounded by hosts
+        touched since the last tick (the politeness cardinality class)."""
+        obs = feed.select(
+            "host", F.lit(1).alias("_p"), F.lit(0).alias("_ok")
+        ).unionByName(
+            results.select("host", F.lit(0).alias("_p"), F.lit(1).alias("_ok"))
+        )
+        if notmod is not None:
+            obs = obs.unionByName(
+                notmod.select("host", F.lit(0).alias("_p"), F.lit(1).alias("_ok"))
+            )
+        for r in (
+            obs.groupBy("host")
+            .agg(F.sum("_p").alias("_p"), F.sum("_ok").alias("_ok"))
+            .collect()
+        ):
+            ok, err = int(r["_ok"]), int(r["_p"]) - int(r["_ok"])
+            w = self._throttle_window.setdefault(r["host"], [0, 0])
+            w[0] += ok
+            w[1] += max(err, 0)
+
+    def _throttle_tick(self) -> int:
+        """Apply one AIMD adjustment: MERGE the controller's new delay_s
+        for every host observed since the last tick into the domain
+        table (policy rows only — hosts without a politeness policy have
+        no bucket to throttle). Returns hosts updated."""
+        from frontera_spark.core.throttle import aimd_delay
+
+        if not self._throttle_window:
+            return 0
+        cfg = self.throttle_cfg
+        obs = self.spark.createDataFrame(
+            [
+                (h, int(o), int(e))
+                for h, (o, e) in sorted(self._throttle_window.items())
+            ],
+            "host string, _ok long, _err long",
+        )
+        dom = self.scheduler.domains.table
+        knobs = {
+            k: float(cfg[k])
+            for k in ("err_threshold", "backoff", "relief_s", "min_delay_s", "max_delay_s")
+            if k in cfg
+        }
+        src = (
+            dom.read()
+            .join(F.broadcast(obs), "host", "inner")
+            .withColumn(
+                "delay_s",
+                aimd_delay(F.col("delay_s"), F.col("_ok"), F.col("_err"), **knobs),
+            )
+            .drop("_ok", "_err")
+        )
+        n = dom.upsert(src, set_cols=["delay_s"], insert=False)
+        self._throttle_window.clear()
+        return n
 
     # ------------------------------------------------------------------ dust
 
@@ -1107,6 +1192,8 @@ class CrawlLoop:
             self._append_fetch_log(iteration, logged)
         if self.dust_cfg is not None:
             self._append_dust_log(iteration, results)
+        if self.throttle_cfg is not None:
+            self._accumulate_throttle_window(feed, results, notmod)
         fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
         for pid, n in n_notmod_by_pid.items():  # a 304 is a successful visit
             fetched_by_pid[pid] = fetched_by_pid.get(pid, 0) + n
@@ -1317,6 +1404,12 @@ class CrawlLoop:
                 and self.engine.iteration % self.dust_cfg["every"] == 0
             ):
                 self._mine_dust(self.engine.iteration)
+            if (
+                self.throttle_cfg is not None
+                and self.engine.iteration
+                and self.engine.iteration % self.throttle_cfg["every"] == 0
+            ):
+                self._throttle_tick()
             m = self.run_iteration()
             if verbose:
                 print(m)
