@@ -40,6 +40,21 @@ def main() -> None:
         help="mirror handling: drop links from pages whose body signature "
         "was already crawled at another URL",
     )
+    ap.add_argument(
+        "--dust-every",
+        type=int,
+        default=None,
+        help="mine DUST parameter-irrelevance rules every N iterations and "
+        "strip mined params from candidate links before scheduling",
+    )
+    ap.add_argument("--dust-min-support", type=int, default=2)
+    ap.add_argument(
+        "--alias-share",
+        type=float,
+        default=0.0,
+        help="fraction of corpus child links emitted as ?sess= aliases "
+        "(the DUST fixture; implies the server ignores 'sess')",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,7 +74,10 @@ def main() -> None:
 
     corpus_path = os.path.join(args.workdir, "corpus")
     if not os.path.exists(corpus_path):
-        write_corpus(spark, corpus_path, args.n_images, args.n_hosts, args.seed)
+        write_corpus(
+            spark, corpus_path, args.n_images, args.n_hosts, args.seed,
+            alias_share=args.alias_share,
+        )
     loop = CrawlLoop(
         spark,
         os.path.join(args.workdir, "engine"),
@@ -71,6 +89,12 @@ def main() -> None:
         n_partitions=args.partitions,
         mode=args.mode,
         content_dedup=args.content_dedup,
+        dust=(
+            {"every": args.dust_every, "min_support": args.dust_min_support}
+            if args.dust_every
+            else None
+        ),
+        server_ignores=("sess",) if args.alias_share > 0 else (),
     )
     if loop.engine.count() == 0:
         loop.add_seeds([url_of(0, args.n_hosts)])
