@@ -3106,6 +3106,45 @@ FROM docs d LEFT JOIN state s ON d.doc_id = s.doc_id
 """
 
 
+# ------------- R5: HTTP 3xx redirect verdict (crawl loop redirect split)
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """The crawl loop's redirect split (CrawlLoop(redirects=...),
+    streaming/loop.py — scrapy RedirectMiddleware semantics: the Location
+    target re-enters the frontier as a link from the source at the SAME
+    depth, the source takes a zero-byte CRAWLED transition): every 7th
+    page is moved to the next doc's address under the §7 URL mapping;
+    the verdict is a pure literal-map projection — no join, exactly the
+    loop's plan shape."""
+    did = F.col("doc_id")
+
+    def _u(i):
+        return F.concat(
+            F.lit("https://h"), (i % 31).cast("string"),
+            F.lit(".example.test/d/"), i.cast("string"),
+        )
+
+    moved = did % 7 == 0
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _u(did).alias("url"),
+        F.when(moved, F.lit("redirect")).otherwise(F.lit("fetch")).alias("action"),
+        F.when(moved, _u(did + 1)).alias("location"),
+    )
+
+
+SQL_REDIRECT_RESOLVE = """
+SELECT doc_id,
+       'https://h' || (doc_id % 31) || '.example.test/d/' || doc_id AS url,
+       CASE WHEN doc_id % 7 = 0 THEN 'redirect' ELSE 'fetch' END AS action,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'https://h' || ((doc_id + 1) % 31) || '.example.test/d/' || (doc_id + 1)
+       END AS location
+FROM documents
+"""
+
+
 # ---------------- R5: AIMD politeness throttle (core/throttle.py)
 
 
@@ -3380,9 +3419,11 @@ FROM d
 # still local-gated + benched). Fifth late round-5 addition:
 # throttle_delays (the AIMD politeness controller step the crawl loop's
 # throttle tick applies, core/throttle.py) enters the cap, displacing
-# stratified_sample (driver-green r1–r4). After this round every registry
-# entry has at least one green driver row on record; the per-round map
-# lives in COVERAGE.md.
+# stratified_sample (driver-green r1–r4). Sixth late round-5 addition:
+# redirect_resolve (the crawl loop's HTTP-3xx split verdict) enters the
+# cap, displacing segment_dedup (driver-green r1–r4). After this round
+# every registry entry has at least one green driver row on record; the
+# per-round map lives in COVERAGE.md.
 
 QUERIES = {
     "seed_projection": (q_seed_projection, SQL_SEED_PROJECTION),
@@ -3410,6 +3451,7 @@ QUERIES = {
     "dust_rules": (q_dust_rules, SQL_DUST_RULES),
     "dust_rewrite": (q_dust_rewrite, SQL_DUST_REWRITE),
     "throttle_delays": (q_throttle_delays, SQL_THROTTLE_DELAYS),
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
@@ -3423,7 +3465,6 @@ QUERIES = {
     "phash_components": (q_phash_components, SQL_PHASH_COMPONENTS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
-    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
@@ -3438,6 +3479,7 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),

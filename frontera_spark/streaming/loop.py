@@ -235,6 +235,7 @@ class CrawlLoop:
         dust: dict | None = None,
         server_ignores: tuple[str, ...] = (),
         throttle: dict | None = None,
+        redirects: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -444,6 +445,21 @@ class CrawlLoop:
             throttle["every"] = max(1, int(throttle.get("every", 5)))
         self.throttle_cfg = throttle
         self._throttle_window: dict[str, list[int]] = {}
+        # HTTP 3xx redirect simulator: {requested canonical_url: Location
+        # target}. A popped row whose URL the map covers never reaches the
+        # payload join (no body at the old address): it takes its CRAWLED
+        # transition with zero bytes and its Location target is scheduled
+        # as a LINK from the source (parent_seq = source seq, link_pos 0,
+        # SAME depth — scrapy's RedirectMiddleware semantics: a redirect is
+        # the same document moving, not a deeper discovery). The target
+        # then rides the NORMAL schedule path, so seen-dedup collapses
+        # already-crawled targets, robots middleware gates denied ones, and
+        # multi-hop chains resolve one hop per iteration — cycles die in
+        # the seen-set, and chain length is bounded by the (finite) map,
+        # so no hop cap is needed. A real deployment replaces this map
+        # with the fetcher's 3xx status + Location header (the same
+        # contract as flaky_hosts standing in for timeouts).
+        self.redirects = dict(redirects or {})
 
     # ------------------------------------------------------------------ state
 
@@ -572,13 +588,15 @@ class CrawlLoop:
 
     # -------------------------------------------------------------- throttle
 
-    def _accumulate_throttle_window(self, feed, results, notmod) -> None:
+    def _accumulate_throttle_window(self, feed, results, notmod, redirected=None) -> None:
         """Fold this iteration's per-host outcomes into the observation
-        window: ok = fetched + not-modified visits, err = popped rows that
-        produced neither (404s, flaky failures — any failed fetch counts
-        as pressure). One union-agg job over frames that are already
-        cached and <= batch-size; the window dict is bounded by hosts
-        touched since the last tick (the politeness cardinality class)."""
+        window: ok = fetched + not-modified + redirected visits (a 304 or
+        3xx is a server RESPONSE, not pressure), err = popped rows that
+        produced none of those (404s, flaky failures — any failed fetch
+        counts as pressure). One union-agg job over frames that are
+        already cached and <= batch-size; the window dict is bounded by
+        hosts touched since the last tick (the politeness cardinality
+        class)."""
         obs = feed.select(
             "host", F.lit(1).alias("_p"), F.lit(0).alias("_ok")
         ).unionByName(
@@ -587,6 +605,10 @@ class CrawlLoop:
         if notmod is not None:
             obs = obs.unionByName(
                 notmod.select("host", F.lit(0).alias("_p"), F.lit(1).alias("_ok"))
+            )
+        if redirected is not None:
+            obs = obs.unionByName(
+                redirected.select("host", F.lit(0).alias("_p"), F.lit(1).alias("_ok"))
             )
         for r in (
             obs.groupBy("host")
@@ -1138,6 +1160,27 @@ class CrawlLoop:
                 feed, iteration, sorted(popped_by_pid)
             )
 
+        # 3xx split: rows whose URL the redirect map covers skip the payload
+        # join entirely (literal-map lookup, no join; the one count job runs
+        # only when a redirect map is configured)
+        redirected, n_redir_by_pid = None, {}
+        if self.redirects:
+            rmap = F.create_map(
+                *[F.lit(x) for kv in sorted(self.redirects.items()) for x in kv]
+            )
+            tagged = feed_fetch.withColumn("_loc", rmap[F.col("canonical_url")])
+            redirected = tagged.filter(F.col("_loc").isNotNull()).cache()
+            n_redir_by_pid = {
+                r["partition_id"]: int(r["n"])
+                for r in redirected.groupBy("partition_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if n_redir_by_pid:
+                feed_fetch = tagged.filter(F.col("_loc").isNull()).drop("_loc")
+            else:
+                redirected.unpersist()
+                redirected = None
         results = fetch_stage(
             feed_fetch,
             self.corpus,
@@ -1193,9 +1236,11 @@ class CrawlLoop:
         if self.dust_cfg is not None:
             self._append_dust_log(iteration, results)
         if self.throttle_cfg is not None:
-            self._accumulate_throttle_window(feed, results, notmod)
+            self._accumulate_throttle_window(feed, results, notmod, redirected)
         fetched_by_pid = {r["partition_id"]: int(r["n_fetched"]) for r in mrows}
         for pid, n in n_notmod_by_pid.items():  # a 304 is a successful visit
+            fetched_by_pid[pid] = fetched_by_pid.get(pid, 0) + n
+        for pid, n in n_redir_by_pid.items():  # a 3xx resolves its popped row
             fetched_by_pid[pid] = fetched_by_pid.get(pid, 0) + n
         err_by_pid = {
             pid: n - fetched_by_pid.get(pid, 0)
@@ -1245,6 +1290,21 @@ class CrawlLoop:
             ),
             cash_fn=strat.link_cash,
         )
+        if redirected is not None:
+            # the Location target enters the frontier as a LINK from the
+            # source row: same depth (a redirect is the same document
+            # moving), link_pos 0 (a redirect source has no body, so no
+            # extracted links compete for the slot), full cash transfer
+            # for accumulating strategies (it IS the page the cash priced)
+            rl_cols = [
+                F.col("_loc").alias("url"),
+                F.col("seq").alias("parent_seq"),
+                F.lit(0).alias("link_pos"),
+                F.col("depth").alias("depth"),
+            ]
+            if strat.accumulates_cash:
+                rl_cols.append(F.col("score").alias("_cash"))
+            links = links.unionByName(redirected.select(*rl_cols))
         if self.dust_cfg is not None and self._dust_rules:
             # collapse mined aliases BEFORE canonicalization/dedup: a
             # stripped link that matches an already-crawled URL dies in the
@@ -1254,18 +1314,24 @@ class CrawlLoop:
 
             links = apply_dust_rules(links, self._dust_rules, url_col="url")
         crawled = results
-        if notmod is not None:
-            # 304 rows take the same CRAWLED transition in the same fused
-            # commit — ingest only reads the key columns from this frame
-            crawled = results.select("fingerprint", "partition_id", "jid").unionByName(
-                notmod.select("fingerprint", "partition_id", "jid")
-            )
+        extra_visits = [f for f in (notmod, redirected) if f is not None]
+        if extra_visits:
+            # 304 and 3xx rows take the same CRAWLED transition in the same
+            # fused commit — ingest only reads the key columns from them
+            crawled = results.select("fingerprint", "partition_id", "jid")
+            for f in extra_visits:
+                crawled = crawled.unionByName(
+                    f.select("fingerprint", "partition_id", "jid")
+                )
         n_scheduled = self.engine.ingest_results(
             crawled, missing, links, update_pids=upd_pids
         )
         t_sec = time.perf_counter() - t0
         base = [r.asDict() for r in mrows]
-        for pid, n in n_notmod_by_pid.items():  # visits with zero bytes moved
+        zero_byte_visits = dict(n_notmod_by_pid)
+        for pid, n in n_redir_by_pid.items():  # 3xx rows: visits, no bytes
+            zero_byte_visits[pid] = zero_byte_visits.get(pid, 0) + n
+        for pid, n in zero_byte_visits.items():  # visits with zero bytes moved
             row = next((b for b in base if b["partition_id"] == pid), None)
             if row is None:
                 base.append(
@@ -1307,6 +1373,8 @@ class CrawlLoop:
         }
         if self.revisit_cfg is not None and self.revisit_cfg.get("conditional"):
             agg["n_not_modified"] = sum(n_notmod_by_pid.values())
+        if self.redirects:
+            agg["n_redirects"] = sum(n_redir_by_pid.values())
         if self.dust_cfg is not None:
             # rules active while THIS iteration's links were scheduled
             agg["n_dust_rules"] = sum(len(v) for v in self._dust_rules.values())
@@ -1320,6 +1388,8 @@ class CrawlLoop:
         results.unpersist()
         if notmod is not None:
             notmod.unpersist()
+        if redirected is not None:
+            redirected.unpersist()
         feed.unpersist()
         return agg
 
