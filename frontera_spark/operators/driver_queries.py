@@ -3106,6 +3106,49 @@ FROM docs d LEFT JOIN state s ON d.doc_id = s.doc_id
 """
 
 
+# ---------------- R5: host-level link-graph rollup (crawl analytics)
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link-graph rollup — the aggregation behind host-granular
+    authority/OPIC scoring, spam-neighborhood analysis, and politeness
+    planning (Common Crawl publishes exactly this artifact as its
+    host-level webgraph; frontera's hostname partitioner implies the same
+    host keying): the §6 deterministic page edges v -> (31v+j) % N
+    collapse onto the §7 host mapping (host = id % 31), one row per
+    (src_host, dst_host) with edge multiplicity and distinct source-page
+    support. One hash aggregation over the edge set — at 10^10 pages the
+    host graph is the only all-pages link artifact small enough to
+    analyze interactively (hosts², not pages²)."""
+    _, edges, _ = _doc_graph(spark, sf_dir)
+    return (
+        edges.select(
+            F.concat(F.lit("h"), (F.col("src") % 31).cast("string")).alias("src_host"),
+            F.concat(F.lit("h"), (F.col("dst") % 31).cast("string")).alias("dst_host"),
+            "src",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("src").alias("n_src_pages"),
+        )
+    )
+
+
+SQL_HOST_GRAPH = """
+WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + j.j) % nn.n AS dst
+  FROM documents d, nn, UNNEST([1, 2, 3]) AS j(j)
+  WHERE j.j <= 1 + d.doc_id % 3
+)
+SELECT 'h' || (src % 31) AS src_host, 'h' || (dst % 31) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src_pages
+FROM e GROUP BY src_host, dst_host
+"""
+
+
 # ------------- R5: HTTP 3xx redirect verdict (crawl loop redirect split)
 
 
@@ -3421,7 +3464,9 @@ FROM d
 # throttle tick applies, core/throttle.py) enters the cap, displacing
 # stratified_sample (driver-green r1–r4). Sixth late round-5 addition:
 # redirect_resolve (the crawl loop's HTTP-3xx split verdict) enters the
-# cap, displacing segment_dedup (driver-green r1–r4). After this round
+# cap, displacing segment_dedup (driver-green r1–r4). Seventh late
+# round-5 addition: host_graph (host-level link-graph rollup) enters the
+# cap, displacing pii_redact (driver-green r1–r4). After this round
 # every registry entry has at least one green driver row on record; the
 # per-round map lives in COVERAGE.md.
 
@@ -3452,6 +3497,7 @@ QUERIES = {
     "dust_rewrite": (q_dust_rewrite, SQL_DUST_REWRITE),
     "throttle_delays": (q_throttle_delays, SQL_THROTTLE_DELAYS),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "salting_plan": (q_salting_plan, SQL_SALTING_PLAN),
     "bloom_shard_stats": (q_bloom_shard_stats, None),
@@ -3466,7 +3512,6 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "pagerank_scores": (q_pagerank_scores, SQL_PAGERANK_SCORES),
     "contamination": (q_contamination, SQL_CONTAMINATION),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "politeness_tick": (q_politeness_tick, SQL_POLITENESS_TICK),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
@@ -3479,6 +3524,7 @@ QUERIES = {
     # ---- entries 51+: PAST the driver's 50-entry correctness cap (see the
     # ROTATION note above) — every one is driver-green in r1–r4 and stays
     # verified by the local sf0.001 gate + bench.py each round
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
